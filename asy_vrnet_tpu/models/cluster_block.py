@@ -1,0 +1,122 @@
+"""Cluster token-mixer module and the pre-norm residual ClusterBlock.
+
+Reference semantics: backbone/fusion/vr_coc.py:128-300 (identical copy in
+backbone/vision/context_cluster.py:100-230).  The module wraps the pure
+`cluster_mix` op (asy_vrnet_tpu/ops/cluster.py) with the fc_v/fc1/fc2 1x1
+projections and learned sigmoid affinity (alpha, beta); ClusterBlock adds
+GroupNorm(1) pre-norm, LayerScale and DropPath residual wiring.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from asy_vrnet_tpu.models.layers import DropPath, GroupNorm1, Mlp
+from asy_vrnet_tpu.ops.cluster import cluster_mix
+from asy_vrnet_tpu.ops.cluster_pallas import cluster_mix_pallas, pallas_supported
+
+Dtype = Any
+
+
+class Cluster(nn.Module):
+    """Context-cluster token mixer (vr_coc.py:128-192)."""
+
+    out_dim: int
+    proposal_w: int = 2
+    proposal_h: int = 2
+    fold_w: int = 2
+    fold_h: int = 2
+    heads: int = 4
+    head_dim: int = 24
+    return_center: bool = False
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.heads * self.head_dim
+        value = nn.Conv(inner, (1, 1), dtype=self.dtype, name="fc_v")(x)
+        feat = nn.Conv(inner, (1, 1), dtype=self.dtype, name="fc1")(x)
+        sim_alpha = self.param("sim_alpha", nn.initializers.ones, (), jnp.float32)
+        sim_beta = self.param("sim_beta", nn.initializers.zeros, (), jnp.float32)
+        # fold>1 in the reference gates region folding; fold==1 means a single
+        # global region, which the same code path handles.
+        kwargs = dict(
+            heads=self.heads,
+            fold_h=self.fold_h,
+            fold_w=self.fold_w,
+            proposal_h=self.proposal_h,
+            proposal_w=self.proposal_w,
+        )
+        if (
+            self.use_pallas
+            and not self.return_center
+            and pallas_supported(feat.shape, **kwargs)
+        ):
+            out = cluster_mix_pallas(feat, value, sim_alpha, sim_beta, **kwargs)
+        else:
+            out = cluster_mix(
+                feat, value, sim_alpha, sim_beta,
+                return_center=self.return_center, **kwargs,
+            )
+        return nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="fc2")(out)
+
+
+class ClusterBlock(nn.Module):
+    """Pre-norm residual block: GN1 -> Cluster -> LayerScale -> +x; GN1 ->
+    1x1-conv MLP -> LayerScale -> +x; DropPath (vr_coc.py:226-275)."""
+
+    dim: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    drop_path: float = 0.0
+    use_layer_scale: bool = True
+    layer_scale_init_value: float = 1e-5
+    proposal_w: int = 2
+    proposal_h: int = 2
+    fold_w: int = 2
+    fold_h: int = 2
+    heads: int = 4
+    head_dim: int = 24
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        mixer = Cluster(
+            out_dim=self.dim,
+            proposal_w=self.proposal_w, proposal_h=self.proposal_h,
+            fold_w=self.fold_w, fold_h=self.fold_h,
+            heads=self.heads, head_dim=self.head_dim,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype, name="token_mixer",
+        )
+        mlp = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim, drop=self.drop,
+            dtype=self.dtype, name="mlp",
+        )
+        drop_path = DropPath(self.drop_path)
+
+        y = mixer(GroupNorm1(dtype=self.dtype, name="norm1")(x))
+        if self.use_layer_scale:
+            ls1 = self.param(
+                "layer_scale_1",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,), jnp.float32,
+            )
+            y = y * ls1
+        x = x + drop_path(y, deterministic=not train)
+
+        y = mlp(GroupNorm1(dtype=self.dtype, name="norm2")(x), deterministic=not train)
+        if self.use_layer_scale:
+            ls2 = self.param(
+                "layer_scale_2",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,), jnp.float32,
+            )
+            y = y * ls2
+        x = x + drop_path(y, deterministic=not train)
+        return x

@@ -1,0 +1,252 @@
+"""Dual-stream (vision + radar) Context-Cluster backbone with asymmetric fusion.
+
+TPU-native rebuild of VRCoC (backbone/fusion/vr_coc.py:303-704): a 4-stage
+dual Context-Cluster hierarchy where after each stage the image stream is
+gated by a normalised radar projection (ImageEnhanceByRadar, :303-316) and the
+radar stream is enhanced by the *already-enhanced* image via shuffle/ECA
+attention and an inverse projection (RadarEnhanceByImage, :319-359).
+
+Faithfully reproduced structural quirks (flagged `# parity:`):
+  - the radar positional-embedding concat reuses the image grid (`fea_pos`,
+    not `fea_pos_r`, vr_coc.py:585) — both grids are identical anyway;
+  - the stage-3 tap is computed but discarded (vr_coc.py:655-656);
+  - taps are [after stage-1 fusion, after reducer-1, after reducer-2, after
+    stage-4 fusion] at strides 4/8/16/32.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from asy_vrnet_tpu.config import CoCVariant
+from asy_vrnet_tpu.models.cluster_block import ClusterBlock
+from asy_vrnet_tpu.models.layers import (
+    BatchNorm2d,
+    ConvBnAct,
+    ECA,
+    ShuffleAttention,
+    channel_shuffle,
+)
+
+Dtype = Any
+
+
+def data_normal(x: jnp.ndarray) -> jnp.ndarray:
+    """Global (whole-tensor) min-max normalisation to [0,1] (vr_coc.py:59-67)."""
+    d_min = jnp.min(x)
+    d_max = jnp.max(x)
+    return (x - d_min) / (d_max - d_min)
+
+
+def positional_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(H,W,2) coordinate grid in [-0.5, 0.5]: ch0 = row coord, ch1 = col coord.
+
+    Matches the registered `fea_pos` buffer (vr_coc.py:401-406): torch
+    meshgrid(indexing='ij') stacked on the last dim then treated as (C,H,W).
+    """
+    rows = np.arange(h, dtype=np.float32) / max(h - 1.0, 1.0) - 0.5
+    cols = np.arange(w, dtype=np.float32) / max(w - 1.0, 1.0) - 0.5
+    grid = np.stack(np.meshgrid(rows, cols, indexing="ij"), axis=-1)
+    return jnp.asarray(grid, dtype=dtype)
+
+
+class PointReducer(nn.Module):
+    """Patch-embed / downsample as a strided conv (vr_coc.py:83-102)."""
+
+    features: int
+    patch_size: int = 16
+    stride: int = 16
+    padding: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features,
+            (self.patch_size, self.patch_size),
+            strides=self.stride,
+            padding=self.padding,
+            use_bias=True,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+
+
+class ImageEnhanceByRadar(nn.Module):
+    """radar -> 3x3 ConvBnAct projection -> global min-max -> (1+norm)*image
+    -> BatchNorm (vr_coc.py:303-316)."""
+
+    image_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, radar: jnp.ndarray, train: bool = False):
+        key = ConvBnAct(
+            self.image_channels, 3, act="relu", dtype=self.dtype,
+            name="radar_projection",
+        )(radar, train=train)
+        gated = (1.0 + data_normal(key)) * image
+        return BatchNorm2d(dtype=self.dtype, name="norm")(gated, train=train)
+
+
+class RadarEnhanceByImage(nn.Module):
+    """(ShuffleAttention on image) -> concat -> shuffle(2) -> ECA -> 1x1
+    inverse projection -> +radar residual -> BatchNorm (vr_coc.py:319-359).
+
+    `initial=True` (used once pre-stem on the raw 3/4-channel inputs,
+    vr_coc.py:421) skips the ShuffleAttention.
+    """
+
+    radar_channels: int
+    initial: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, radar: jnp.ndarray, train: bool = False):
+        if not self.initial:
+            image = ShuffleAttention(groups=4, dtype=self.dtype, name="image_attn")(image)
+        fused = jnp.concatenate([image, radar], axis=-1)
+        fused = channel_shuffle(fused, 2)
+        fused = ECA(dtype=self.dtype, name="channel_attn")(fused)
+        fused = ConvBnAct(
+            self.radar_channels, 1, act="relu", dtype=self.dtype,
+            name="inverse_projection",
+        )(fused, train=train)
+        fused = fused + radar
+        return BatchNorm2d(dtype=self.dtype, name="norm")(fused, train=train)
+
+
+class _Stage(nn.Module):
+    """layers[i] ClusterBlocks of one stream at one stage."""
+
+    dim: int
+    num_blocks: int
+    stage_index: int
+    variant: CoCVariant
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        v = self.variant
+        i = self.stage_index
+        total = sum(v.layers)
+        prior = sum(v.layers[:i])
+        for j in range(self.num_blocks):
+            dpr = v.drop_path_rate * (j + prior) / max(total - 1, 1)
+            x = ClusterBlock(
+                dim=self.dim,
+                mlp_ratio=v.mlp_ratios[i],
+                drop=v.drop_rate,
+                drop_path=dpr,
+                use_layer_scale=v.use_layer_scale,
+                layer_scale_init_value=v.layer_scale_init_value,
+                proposal_w=v.proposal_w[i], proposal_h=v.proposal_h[i],
+                fold_w=v.fold_w[i], fold_h=v.fold_h[i],
+                heads=v.heads[i], head_dim=v.head_dim[i],
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name=f"block{j}",
+            )(x, train=train)
+        return x
+
+
+class VRCoC(nn.Module):
+    """The dual-stream backbone.  __call__(image, radar) -> (outs, outs_radar),
+    each a 4-tuple of NHWC feature maps at strides 4/8/16/32."""
+
+    variant: CoCVariant
+    width: float = 1.0
+    image_channels: int = 3
+    radar_channels: int = 4
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, radar: jnp.ndarray, train: bool = False):
+        v = self.variant
+        dims = v.scaled_dims(self.width)
+        num_stages = len(v.layers)
+
+        # ---- input embedding (vr_coc.py:575-587) ----
+        image = PointReducer(
+            self.image_channels, patch_size=1, stride=1, dtype=self.dtype,
+            name="image_initial",
+        )(image)
+        radar = PointReducer(
+            self.radar_channels, patch_size=1, stride=1, dtype=self.dtype,
+            name="radar_initial",
+        )(radar)
+
+        image = ImageEnhanceByRadar(
+            self.image_channels, dtype=self.dtype, name="image_enhance_by_radar1",
+        )(image, radar, train=train)
+        radar = RadarEnhanceByImage(
+            self.radar_channels, initial=True, dtype=self.dtype,
+            name="radar_enhance_by_image1",
+        )(image, radar, train=train)
+
+        b, h, w, _ = image.shape
+        pos = jnp.broadcast_to(
+            positional_grid(h, w, dtype=image.dtype)[None], (b, h, w, 2)
+        )
+        image = PointReducer(
+            dims[0], patch_size=v.in_patch_size, stride=v.in_stride,
+            padding=v.in_pad, dtype=self.dtype, name="patch_embed",
+        )(jnp.concatenate([image, pos], axis=-1))
+        # parity: the reference concatenates `fea_pos` (the image grid) to the
+        # radar stream as well (vr_coc.py:585); the grids are identical.
+        radar = PointReducer(
+            dims[0], patch_size=v.in_patch_size, stride=v.in_stride,
+            padding=v.in_pad, dtype=self.dtype, name="patch_embed_radar",
+        )(jnp.concatenate([radar, pos], axis=-1))
+
+        # ---- stages: [blocks -> fusion -> reducer] x4 (vr_coc.py:589-675) ----
+        outs: list[jnp.ndarray] = []
+        outs_radar: list[jnp.ndarray] = []
+        for i in range(num_stages):
+            image = _Stage(
+                dims[i], v.layers[i], i, v, use_pallas=self.use_pallas,
+                dtype=self.dtype, name=f"stage{i}",
+            )(image, train=train)
+            radar = _Stage(
+                dims[i], v.layers[i], i, v, use_pallas=self.use_pallas,
+                dtype=self.dtype, name=f"stage{i}_radar",
+            )(radar, train=train)
+
+            # fusion: image first, radar uses the already-enhanced image.
+            image = ImageEnhanceByRadar(
+                dims[i], dtype=self.dtype, name=f"fusion{i}_image",
+            )(image, radar, train=train)
+            radar = RadarEnhanceByImage(
+                dims[i], dtype=self.dtype, name=f"fusion{i}_radar",
+            )(image, radar, train=train)
+
+            if i == 0:
+                outs.append(image)          # stride-4 tap after stage-1 fusion
+                outs_radar.append(radar)
+            elif i == num_stages - 1:
+                outs.append(image)          # stride-32 tap after stage-4 fusion
+                outs_radar.append(radar)
+            # parity: stage-3 (i==2) post-fusion tap is discarded
+            # (vr_coc.py:655-656).
+
+            if i < num_stages - 1 and (v.downsamples[i] or dims[i] != dims[i + 1]):
+                image = PointReducer(
+                    dims[i + 1], patch_size=v.down_patch_size,
+                    stride=2, padding=v.down_pad,
+                    dtype=self.dtype, name=f"reducer{i}",
+                )(image)
+                radar = PointReducer(
+                    dims[i + 1], patch_size=v.down_patch_size,
+                    stride=2, padding=v.down_pad,
+                    dtype=self.dtype, name=f"reducer{i}_radar",
+                )(radar)
+                if i in (0, 1):
+                    outs.append(image)      # stride-8/16 taps after reducers 1,2
+                    outs_radar.append(radar)
+
+        return tuple(outs), tuple(outs_radar)

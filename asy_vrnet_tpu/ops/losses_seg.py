@@ -1,0 +1,135 @@
+"""Segmentation losses with reference semantics (nets/deeplabv3_training.py:9-59).
+
+All functions take NHWC logits (B,H,W,C).  `target` is an int map (B,H,W)
+with the ignore class encoded as `num_classes`; `target_onehot` is
+(B,H,W,C+1) with the trailing ignore channel (utils/dataloader.py:92-100).
+
+Parity notes:
+  - CE uses torch's weighted-mean normalisation (sum w[t]·nll / sum w[t] over
+    non-ignored pixels);
+  - focal follows the reference exactly, including the quirk that the final
+    mean is over *all* pixels (ignored pixels contribute 0 to the numerator
+    but count in the denominator) and that class weights enter inside the
+    exp() via the weighted CE;
+  - dice excludes the trailing ignore channel of the one-hot target and uses
+    smooth=1e-5, beta=1;
+  - logits are bilinearly resized (align_corners=True) to the target size
+    when they differ.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from asy_vrnet_tpu.ops.resize import resize_bilinear
+
+
+def _maybe_resize(logits: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    if logits.shape[1] != th or logits.shape[2] != tw:
+        logits = resize_bilinear(logits, (th, tw), align_corners=True)
+    return logits
+
+
+def _weighted_ce_elementwise(
+    logits: jnp.ndarray,      # (N, C)
+    target: jnp.ndarray,      # (N,) int; == C means ignore
+    cls_weights: Optional[jnp.ndarray],
+    num_classes: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-element weighted NLL (0 where ignored) and per-element weights."""
+    valid = target < num_classes
+    t = jnp.where(valid, target, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
+    if cls_weights is None:
+        w = jnp.ones_like(nll)
+    else:
+        w = cls_weights[t].astype(nll.dtype)
+    nll = jnp.where(valid, w * nll, 0.0)
+    w = jnp.where(valid, w, 0.0)
+    return nll, w
+
+
+def ce_loss(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    cls_weights: Optional[jnp.ndarray] = None,
+    num_classes: int = 21,
+) -> jnp.ndarray:
+    """Weighted cross-entropy with ignore_index=num_classes (CE_Loss, :9-19)."""
+    b, th, tw = target.shape
+    logits = _maybe_resize(logits, th, tw)
+    c = logits.shape[-1]
+    nll, w = _weighted_ce_elementwise(
+        logits.reshape(-1, c), target.reshape(-1), cls_weights, num_classes
+    )
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def focal_loss(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    cls_weights: Optional[jnp.ndarray] = None,
+    num_classes: int = 21,
+    alpha: float = 0.5,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Focal loss on top of weighted CE (Focal_Loss, :22-38)."""
+    b, th, tw = target.shape
+    logits = _maybe_resize(logits, th, tw)
+    c = logits.shape[-1]
+    nll, _ = _weighted_ce_elementwise(
+        logits.reshape(-1, c), target.reshape(-1), cls_weights, num_classes
+    )
+    logpt = -nll                      # 0 at ignored pixels, matching torch
+    pt = jnp.exp(logpt)
+    logpt = logpt * alpha
+    loss = -((1.0 - pt) ** gamma) * logpt
+    # parity: mean over all pixels (ignored pixels are zeros in the numerator)
+    return jnp.mean(loss)
+
+
+def dice_loss(
+    logits: jnp.ndarray,          # (B,H,W,C)
+    target_onehot: jnp.ndarray,   # (B,H,W,C+1), trailing ignore channel
+    beta: float = 1.0,
+    smooth: float = 1e-5,
+) -> jnp.ndarray:
+    """Soft-dice over classes, excluding the ignore channel (Dice_loss, :41-59)."""
+    b, th, tw, ct = target_onehot.shape
+    logits = _maybe_resize(logits, th, tw)
+    c = logits.shape[-1]
+    probs = jax.nn.softmax(logits.reshape(b, -1, c), axis=-1)
+    tgt = target_onehot.reshape(b, -1, ct)[..., :-1].astype(probs.dtype)
+    tp = jnp.sum(tgt * probs, axis=(0, 1))
+    fp = jnp.sum(probs, axis=(0, 1)) - tp
+    fn = jnp.sum(tgt, axis=(0, 1)) - tp
+    score = ((1 + beta**2) * tp + smooth) / (
+        (1 + beta**2) * tp + beta**2 * fn + fp + smooth
+    )
+    return 1.0 - jnp.mean(score)
+
+
+def f_score(
+    logits: jnp.ndarray,
+    target_onehot: jnp.ndarray,
+    beta: float = 1.0,
+    smooth: float = 1e-5,
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Thresholded dice metric (utils_seg/utils_metrics.py:12-31)."""
+    b, th, tw, ct = target_onehot.shape
+    logits = _maybe_resize(logits, th, tw)
+    c = logits.shape[-1]
+    probs = jax.nn.softmax(logits.reshape(b, -1, c), axis=-1)
+    preds = (probs > threshold).astype(probs.dtype)
+    tgt = target_onehot.reshape(b, -1, ct)[..., :-1].astype(probs.dtype)
+    tp = jnp.sum(tgt * preds, axis=(0, 1))
+    fp = jnp.sum(preds, axis=(0, 1)) - tp
+    fn = jnp.sum(tgt, axis=(0, 1)) - tp
+    score = ((1 + beta**2) * tp + smooth) / (
+        (1 + beta**2) * tp + beta**2 * fn + fp + smooth
+    )
+    return jnp.mean(score)
