@@ -1,0 +1,170 @@
+"""Single fused train/eval step (the TPU equivalent of utils/utils_fit.py:34-131).
+
+The whole step — forward (both tasks), seg losses, SimOTA + YOLOX loss,
+multitask combine, backward, optimiser update and EMA — compiles to one XLA
+program.  bf16 compute with fp32 params needs no GradScaler; SimOTA runs in
+fp32 (ops/simota.py).
+
+Batch layout (all fixed shapes):
+  image       (B, H, W, 3)  float32, ImageNet-normalised
+  radar       (B, H, W, 4)  float32 (raw — parity with utils/dataloader.py:87)
+  gt_boxes    (B, G, 4)     cxcywh absolute pixels
+  gt_classes  (B, G)        int32
+  gt_valid    (B, G)        bool
+  seg_target  (B, H, W)     int32 with ignore == num_seg_classes
+  seg_onehot  (B, H, W, S+1) float32 (trailing ignore channel)
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from asy_vrnet_tpu.config import Config
+from asy_vrnet_tpu.ops.losses_det import yolox_loss
+from asy_vrnet_tpu.ops.losses_seg import ce_loss, dice_loss, f_score, focal_loss
+from asy_vrnet_tpu.train.state import TrainState
+
+
+def segmentation_loss(cfg: Config, seg_logits, seg_target, seg_onehot):
+    lcfg = cfg.loss
+    weights = (
+        jnp.asarray(lcfg.cls_balance_weights, jnp.float32)
+        if lcfg.cls_balance_weights is not None
+        else None
+    )
+    n = cfg.model.num_seg_classes
+    if lcfg.focal_loss:
+        loss = focal_loss(
+            seg_logits, seg_target, weights, n, lcfg.focal_alpha, lcfg.focal_gamma
+        )
+    else:
+        loss = ce_loss(seg_logits, seg_target, weights, n)
+    if lcfg.dice_loss:
+        loss = loss + dice_loss(seg_logits, seg_onehot)
+    return loss
+
+
+def detection_loss(cfg: Config, det_outputs, batch):
+    lcfg = cfg.loss
+    return yolox_loss(
+        det_outputs,
+        batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+        strides=cfg.model.head_strides,
+        num_classes=cfg.model.num_classes,
+        center_radius=lcfg.center_radius,
+        candidate_k=lcfg.simota_candidate_k,
+        iou_weight=lcfg.iou_weight,
+        obj_weight=lcfg.obj_weight,
+        cls_weight=lcfg.cls_weight,
+    )
+
+
+def combine_losses(cfg: Config, loss_det, loss_seg, log_var):
+    """Multitask combine: reference-parity fixed det+w*seg
+    (utils/utils_fit.py:106) or corrected Kendall uncertainty weighting
+    (utils/multitaskloss.py:12-18, with a *persistent* log-var)."""
+    if cfg.loss.multitask_mode == "uncertainty":
+        return loss_det + jnp.exp(-log_var) * loss_seg + log_var
+    return loss_det + cfg.loss.seg_weight * loss_seg
+
+
+def _zero_frozen(tree, freeze_backbone: bool):
+    """Zero the VRCoC-backbone subtree of a grad/update pytree
+    (train.py:439-440 freezes model.backbone.backbone == neck/backbone here).
+    Applied to both grads (keeps momentum clean) and final updates (keeps
+    weight decay from moving frozen params)."""
+    if not freeze_backbone:
+        return tree
+    if "neck" in tree and "backbone" in tree["neck"]:
+        frozen = jax.tree.map(jnp.zeros_like, tree["neck"]["backbone"])
+        tree = dict(tree)
+        tree["neck"] = dict(tree["neck"])
+        tree["neck"]["backbone"] = frozen
+    return tree
+
+
+def build_train_step(
+    model, cfg: Config, tx: optax.GradientTransformation,
+    freeze_backbone: bool = False,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Returns train_step(state, batch) -> (state, metrics); jit/pjit-able."""
+
+    def train_step(state: TrainState, batch: dict):
+        def loss_fn(params, log_var):
+            (det, seg), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], batch["radar"], train=True,
+                mutable=["batch_stats"],
+            )
+            loss_seg = segmentation_loss(
+                cfg, seg, batch["seg_target"], batch["seg_onehot"]
+            )
+            loss_det, aux = detection_loss(cfg, det, batch)
+            total = combine_losses(cfg, loss_det, loss_seg, log_var)
+            metrics = {
+                "loss": total,
+                "loss_det": loss_det,
+                "loss_seg": loss_seg,
+                "num_fg": aux.num_fg,
+                "f_score": f_score(seg, batch["seg_onehot"]),
+            }
+            return total, (mutated["batch_stats"], metrics)
+
+        (_, (new_bstats, metrics)), (grads, gv) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, state.log_var)
+
+        grads = _zero_frozen(grads, freeze_backbone)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = _zero_frozen(updates, freeze_backbone)
+        new_params = optax.apply_updates(state.params, updates)
+        if cfg.loss.multitask_mode == "uncertainty":
+            # plain SGD on the scalar log-var at the current injected lr
+            lr = state.opt_state[-1].hyperparams["learning_rate"]
+            new_log_var = state.log_var - lr * gv
+        else:
+            new_log_var = state.log_var
+
+        state = state.replace(
+            params=new_params,
+            batch_stats=new_bstats,
+            opt_state=new_opt_state,
+            log_var=new_log_var,
+            step=state.step + 1,
+        )
+        if cfg.optim.ema:
+            state = state.apply_ema(cfg.optim.ema_decay, cfg.optim.ema_tau)
+        return state, metrics
+
+    return train_step
+
+
+def build_eval_step(model, cfg: Config) -> Callable[[dict, dict], dict]:
+    """eval_step(variables, batch) -> metrics (val losses + f_score), using
+    running BN stats (utils/utils_fit.py:144-196)."""
+
+    def eval_step(variables: dict, batch: dict):
+        det, seg = model.apply(
+            variables, batch["image"], batch["radar"], train=False
+        )
+        loss_seg = segmentation_loss(cfg, seg, batch["seg_target"], batch["seg_onehot"])
+        loss_det, aux = detection_loss(cfg, det, batch)
+        return {
+            "loss_det": loss_det,
+            "loss_seg": loss_seg,
+            "loss": loss_det + loss_seg,
+            "f_score": f_score(seg, batch["seg_onehot"]),
+            "num_fg": aux.num_fg,
+        }
+
+    return eval_step
+
+
+def build_forward(model) -> Callable[[dict, jnp.ndarray, jnp.ndarray], Any]:
+    def forward(variables, image, radar):
+        return model.apply(variables, image, radar, train=False)
+
+    return forward

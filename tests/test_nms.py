@@ -1,0 +1,79 @@
+"""Fixed-shape NMS vs a loop-based greedy oracle (torchvision.batched_nms
+semantics: descending score, per-class, strict > threshold suppression)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from asy_vrnet_tpu.ops.nms import nms_fixed, non_max_suppression
+
+
+def _greedy_nms_oracle(boxes, scores, classes, thr):
+    order = np.argsort(-scores, kind="stable")
+    kept = []
+    for i in order:
+        ok = True
+        for j in kept:
+            if classes[i] != classes[j]:
+                continue
+            tl = np.maximum(boxes[i, :2], boxes[j, :2])
+            br = np.minimum(boxes[i, 2:], boxes[j, 2:])
+            if np.all(tl < br):
+                inter = np.prod(br - tl)
+                area_i = np.prod(boxes[i, 2:] - boxes[i, :2])
+                area_j = np.prod(boxes[j, 2:] - boxes[j, :2])
+                if inter / (area_i + area_j - inter) > thr:
+                    ok = False
+                    break
+        if ok:
+            kept.append(i)
+    return kept
+
+
+def _random_dets(n, num_classes, seed):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, 0.8, (n, 2))
+    wh = rng.uniform(0.05, 0.3, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    classes = rng.integers(0, num_classes, n).astype(np.int32)
+    return boxes, scores, classes
+
+
+@pytest.mark.parametrize("seed,n,nc,thr", [(0, 50, 3, 0.5), (1, 200, 1, 0.4),
+                                           (2, 100, 4, 0.65), (3, 30, 2, 0.3)])
+def test_nms_matches_torchvision_batched_nms(seed, n, nc, thr):
+    boxes, scores, classes = _random_dets(n, nc, seed)
+    idx, keep = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.ones(n, bool), thr, max_out=n, num_candidates=n,
+    )
+    ours = sorted(np.asarray(idx)[np.asarray(keep)].tolist())
+    ref = _greedy_nms_oracle(boxes, scores, classes, thr)
+    np.testing.assert_array_equal(ours, sorted(ref))
+    # and the kept order is by descending score, like torchvision
+    kept = np.asarray(idx)[np.asarray(keep)]
+    assert np.all(np.diff(scores[kept]) <= 1e-7)
+
+
+def test_nms_respects_validity_and_max_out():
+    boxes, scores, classes = _random_dets(64, 2, 9)
+    valid = scores > 0.5
+    idx, keep = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(valid), 0.5, max_out=5, num_candidates=64,
+    )
+    kept = np.asarray(idx)[np.asarray(keep)]
+    assert len(kept) <= 5
+    assert np.all(scores[kept] > 0.5)
+
+
+def test_batched_pipeline_shapes():
+    rng = np.random.default_rng(11)
+    pred = rng.uniform(0.0, 1.0, (2, 84, 9)).astype(np.float32)
+    pred[..., 2:4] = rng.uniform(0.05, 0.2, (2, 84, 2))
+    out = non_max_suppression(jnp.asarray(pred), num_classes=4,
+                              conf_thres=0.3, max_out=10, num_candidates=32)
+    assert out["boxes_xyxy"].shape == (2, 10, 4)
+    assert out["classes"].shape == (2, 10)
+    assert out["valid"].dtype == bool
