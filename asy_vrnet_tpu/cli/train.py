@@ -1,0 +1,152 @@
+"""Training CLI (reference: train.py).
+
+Unlike the reference's edit-the-constants style, everything is a flag or a
+JSON config; `--synthetic N` runs end-to-end on a generated tiny dataset
+(useful as a smoke test of the entire stack).
+
+  python -m asy_vrnet_tpu.cli.train --synthetic 8 --epochs 2 --batch-size 2 \
+      --input-size 64 --save-dir /tmp/run
+  python -m asy_vrnet_tpu.cli.train --train-annotation 2007_train.txt \
+      --val-annotation 2007_val.txt --classes model_data/waterscenes.txt \
+      --radar-root radar --seg-path . --phi nano --epochs 100
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import tempfile
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", help="JSON config file (overrides defaults)")
+    p.add_argument("--phi", default="nano", choices=["nano", "tiny", "s", "m", "l"])
+    p.add_argument("--input-size", type=int, default=512)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--init-epoch", type=int, default=0)
+    p.add_argument("--freeze-epoch", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--init-lr", type=float, default=1e-2)
+    p.add_argument("--save-dir", default="logs")
+    p.add_argument("--save-period", type=int, default=10)
+    p.add_argument("--eval-period", type=int, default=10)
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="data-parallel mesh size; 0 = all local devices, 1 = single chip")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--multitask", default="fixed", choices=["fixed", "uncertainty"])
+    p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--resume", help="orbax checkpoint path to resume from")
+    p.add_argument("--weights", help=".npz weights for partial (shape-matched) init")
+    p.add_argument("--train-annotation", default="2007_train.txt")
+    p.add_argument("--val-annotation", default="2007_val.txt")
+    p.add_argument("--classes", default="model_data/waterscenes.txt")
+    p.add_argument("--num-seg-classes", type=int, default=9)
+    p.add_argument("--radar-root", default="radar")
+    p.add_argument("--seg-path", default=".")
+    p.add_argument("--max-boxes", type=int, default=100)
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="generate an N-image synthetic dataset and train on it")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+
+    from asy_vrnet_tpu.config import (
+        Config, DataConfig, LossConfig, ModelConfig, OptimConfig, TrainConfig,
+        show_config,
+    )
+    from asy_vrnet_tpu.data.dataset import DataLoader, WaterScenesDataset, read_annotation_file
+    from asy_vrnet_tpu.data.preprocess import get_classes
+    from asy_vrnet_tpu.models.efficient_vrnet import create_model, init_model
+    from asy_vrnet_tpu.parallel.mesh import make_mesh
+    from asy_vrnet_tpu.train.checkpoint import load_weights, partial_load, restore_checkpoint
+    from asy_vrnet_tpu.train.loop import fit
+    from asy_vrnet_tpu.train.state import create_train_state
+
+    hw = args.input_size
+    if args.synthetic:
+        from asy_vrnet_tpu.data.synthetic import write_synthetic_voc_dataset
+
+        root = tempfile.mkdtemp(prefix="asyvrnet_synth_")
+        meta = write_synthetic_voc_dataset(
+            root, num_images=args.synthetic, hw=(hw, hw)
+        )
+        print(f"synthetic dataset: {root}")
+        args.train_annotation = meta["annotation_path"]
+        args.val_annotation = meta["annotation_path"]
+        args.classes = meta["classes_path"]
+        args.radar_root = meta["radar_root"]
+        args.seg_path = meta["seg_dataset_path"]
+        seg_subdir = os.path.join("VOC2007", "SegmentationClass")
+    else:
+        seg_subdir = os.path.join("VOC2007", "SegmentationClass")
+
+    class_names, num_classes = get_classes(args.classes)
+
+    cfg = Config(
+        model=ModelConfig(
+            num_classes=num_classes, num_seg_classes=args.num_seg_classes,
+            phi=args.phi, input_size=(hw, hw), compute_dtype=args.compute_dtype,
+        ),
+        loss=LossConfig(multitask_mode=args.multitask, max_boxes=args.max_boxes),
+        optim=OptimConfig(
+            optimizer=args.optimizer, init_lr=args.init_lr, ema=not args.no_ema
+        ),
+        train=TrainConfig(
+            epochs=args.epochs, init_epoch=args.init_epoch,
+            freeze_epoch=args.freeze_epoch, batch_size=args.batch_size,
+            save_period=args.save_period, eval_period=args.eval_period,
+            save_dir=args.save_dir,
+        ),
+        data=DataConfig(
+            train_annotation_path=args.train_annotation,
+            val_annotation_path=args.val_annotation,
+            classes_path=args.classes, radar_root=args.radar_root,
+            seg_dataset_path=args.seg_path, input_shape=(hw, hw),
+        ),
+    )
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_dict(json.load(f))
+    print(show_config(cfg))
+
+    model = create_model(cfg.model)
+    params, bstats = init_model(model, jax.random.PRNGKey(cfg.train.seed))
+    if args.weights:
+        src = load_weights(args.weights)
+        params, _, _ = partial_load(params, src.get("params"))
+        bstats, _, _ = partial_load(bstats, src.get("batch_stats"))
+    state, tx = create_train_state(cfg, params, bstats)
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    def mk_loader(path, shuffle):
+        ds = WaterScenesDataset(
+            read_annotation_file(path), cfg.data.input_shape,
+            cfg.model.num_classes, cfg.model.num_seg_classes,
+            cfg.data.radar_root, cfg.data.seg_dataset_path,
+            max_boxes=cfg.loss.max_boxes, seg_subdir=seg_subdir,
+        )
+        return DataLoader(ds, cfg.train.batch_size, shuffle=shuffle, seed=cfg.train.seed)
+
+    train_loader = mk_loader(cfg.data.train_annotation_path, True)
+    val_loader = mk_loader(cfg.data.val_annotation_path, False)
+
+    n_dev = args.num_devices if args.num_devices else len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        print(f"training on mesh {dict(mesh.shape)}")
+
+    fit(model, cfg, state, tx, train_loader, val_loader, class_names, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

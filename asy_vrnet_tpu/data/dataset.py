@@ -1,0 +1,198 @@
+"""WaterScenes-format joint detection+segmentation+radar dataset.
+
+Parity with utils/dataloader.py:35-457 (YoloDataset + collate): annotation
+lines "path x1,y1,x2,y2,cls ...", timestamp-id regex for the radar .npz and
+seg PNG lookup, BICUBIC/NEAREST letterbox, cxcywh absolute-pixel boxes,
+seg one-hot with trailing ignore channel.  Batches come out in the fixed
+shapes the jit'd train step wants (ops padded to max_boxes) — no ragged
+collate.  A background-thread prefetcher overlaps host IO with device steps
+(the reference relies on torch DataLoader workers; train.py:534-539).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import re
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from asy_vrnet_tpu.data.preprocess import (
+    boxes_xyxy_to_cxcywh,
+    cvt_color,
+    letterbox_boxes,
+    letterbox_image,
+    letterbox_label,
+    normalize_image,
+    normalize_radar_minmax,
+)
+
+_ID_PATTERN = re.compile(r"\d{10}\.\d{5}")
+
+
+def parse_annotation_line(line: str) -> tuple[str, np.ndarray, str]:
+    """-> (image_path, boxes (N,5) xyxy+cls, timestamp id)."""
+    parts = line.strip().split()
+    path = parts[0]
+    boxes = np.array(
+        [list(map(int, b.split(","))) for b in parts[1:]], np.float32
+    ).reshape(-1, 5)
+    ids = _ID_PATTERN.findall(line)
+    image_id = ids[-1] if ids else os.path.splitext(os.path.basename(path))[0]
+    return path, boxes, image_id
+
+
+class WaterScenesDataset:
+    """Joint dataset: image + radar map + boxes + segmentation labels."""
+
+    def __init__(
+        self,
+        annotation_lines: Sequence[str],
+        input_shape: tuple[int, int],
+        num_classes: int,
+        num_seg_classes: int,
+        radar_root: str,
+        seg_dataset_path: str,
+        max_boxes: int = 100,
+        radar_norm: str = "none",
+        seg_subdir: str = os.path.join("VOC2007", "SegmentationClass"),
+    ):
+        self.lines = [l for l in annotation_lines if l.strip()]
+        self.input_shape = input_shape
+        self.num_classes = num_classes
+        self.num_seg_classes = num_seg_classes
+        self.radar_root = radar_root
+        self.seg_dir = os.path.join(seg_dataset_path, seg_subdir)
+        self.max_boxes = max_boxes
+        self.radar_norm = radar_norm
+
+    def __len__(self) -> int:
+        return len(self.lines)
+
+    def load_raw(self, index: int):
+        """(PIL image RGB, boxes xyxy+cls, radar (4,H,W), PIL seg label, id)."""
+        from PIL import Image
+
+        path, boxes, image_id = parse_annotation_line(self.lines[index])
+        image = cvt_color(Image.open(path))
+        radar = np.load(os.path.join(self.radar_root, image_id + ".npz"))["arr_0"]
+        seg = Image.open(os.path.join(self.seg_dir, image_id + ".png"))
+        return image, boxes, radar, seg, image_id
+
+    def __getitem__(self, index: int) -> dict:
+        h, w = self.input_shape
+        image, boxes, radar, seg, image_id = self.load_raw(index % len(self))
+
+        image_lb, nw, nh = letterbox_image(image, (w, h))
+        seg_lb = letterbox_label(seg, (w, h))
+        boxes_lb = letterbox_boxes(boxes, image.size, (w, h))
+        boxes_cxcywh = boxes_xyxy_to_cxcywh(boxes_lb)
+
+        img_arr = normalize_image(np.asarray(image_lb)).astype(np.float32)
+        radar = np.asarray(radar, np.float32)
+        if self.radar_norm == "minmax":
+            radar = normalize_radar_minmax(radar).astype(np.float32)
+        # (4,H,W) channel-first on disk -> NHWC
+        radar_arr = np.transpose(radar, (1, 2, 0))
+        if radar_arr.shape[:2] != (h, w):
+            raise ValueError(
+                f"radar map {radar_arr.shape} does not match input {h}x{w}"
+            )
+
+        seg_arr = np.asarray(seg_lb).astype(np.int64)
+        seg_arr[seg_arr >= self.num_seg_classes] = self.num_seg_classes
+        onehot = np.eye(self.num_seg_classes + 1, dtype=np.float32)[seg_arr]
+
+        gt_boxes = np.zeros((self.max_boxes, 4), np.float32)
+        gt_classes = np.zeros((self.max_boxes,), np.int32)
+        gt_valid = np.zeros((self.max_boxes,), bool)
+        n = min(len(boxes_cxcywh), self.max_boxes)
+        if n:
+            gt_boxes[:n] = boxes_cxcywh[:n, :4]
+            gt_classes[:n] = boxes_cxcywh[:n, 4].astype(np.int32)
+            gt_valid[:n] = True
+
+        return {
+            "image": img_arr,
+            "radar": radar_arr,
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_valid": gt_valid,
+            "seg_target": seg_arr.astype(np.int32),
+            "seg_onehot": onehot,
+            "image_id": image_id,
+        }
+
+
+def _stack(samples: Sequence[dict]) -> dict:
+    out = {}
+    for k in samples[0]:
+        if k == "image_id":
+            out[k] = [s[k] for s in samples]
+        else:
+            out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+class DataLoader:
+    """Minimal epoch iterator with shuffling, drop-last batching and
+    background-thread prefetch."""
+
+    def __init__(
+        self,
+        dataset: WaterScenesDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0),
+                           self.batch_size)
+        ]
+        if self.prefetch <= 0:
+            for idxs in batches:
+                yield _stack([self.dataset[i] for i in idxs])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for idxs in batches:
+                    q.put(_stack([self.dataset[i] for i in idxs]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def read_annotation_file(path: str) -> list[str]:
+    with open(path, encoding="utf-8") as f:
+        return [l for l in f.read().splitlines() if l.strip()]

@@ -1,0 +1,147 @@
+"""The training loop: freeze/unfreeze phases, per-epoch LR, val pass,
+callbacks, checkpointing (train.py:563-622 + utils/utils_fit.py:17-226).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asy_vrnet_tpu.config import Config
+from asy_vrnet_tpu.data.dataset import DataLoader
+from asy_vrnet_tpu.parallel.mesh import (
+    build_parallel_eval_step,
+    build_parallel_train_step,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from asy_vrnet_tpu.train.callbacks import DetEvalCallback, LossHistory, SegEvalCallback
+from asy_vrnet_tpu.train.checkpoint import save_checkpoint, save_weights
+from asy_vrnet_tpu.train.optim import make_lr_schedule, set_learning_rate
+from asy_vrnet_tpu.train.state import TrainState, eval_variables
+from asy_vrnet_tpu.train.train_step import build_eval_step, build_train_step
+
+
+def _device_batch(batch: dict) -> dict:
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+
+
+def fit(
+    model,
+    cfg: Config,
+    state: TrainState,
+    tx,
+    train_loader: DataLoader,
+    val_loader: Optional[DataLoader] = None,
+    class_names: Optional[Sequence[str]] = None,
+    mesh=None,
+    log: Callable[[str], None] = print,
+) -> TrainState:
+    """Run the full schedule; returns the final state."""
+    tcfg = cfg.train
+    save_dir = tcfg.save_dir
+    os.makedirs(save_dir, exist_ok=True)
+
+    loss_history = LossHistory(os.path.join(save_dir, "loss"), "det_seg")
+    det_cb = seg_cb = None
+    if val_loader is not None and class_names is not None:
+        det_cb = DetEvalCallback(
+            model, cfg, val_loader, class_names, save_dir,
+            period=tcfg.eval_period, conf_thres=tcfg.eval_conf_thres,
+            max_det=tcfg.eval_max_det,
+        )
+        seg_cb = SegEvalCallback(model, cfg, val_loader, save_dir, period=tcfg.eval_period)
+
+    schedule = make_lr_schedule(cfg.optim, tcfg.batch_size, tcfg.epochs)
+
+    freeze = tcfg.freeze_epoch > tcfg.init_epoch
+    step_frozen = build_train_step(model, cfg, tx, freeze_backbone=True)
+    step_unfrozen = build_train_step(model, cfg, tx, freeze_backbone=False)
+    ev_step = build_eval_step(model, cfg)
+    if mesh is not None:
+        step_frozen = build_parallel_train_step(step_frozen, mesh)
+        step_unfrozen = build_parallel_train_step(step_unfrozen, mesh)
+        ev_step = build_parallel_eval_step(ev_step, mesh)
+        state = replicate_state(state, mesh)
+    else:
+        step_frozen = jax.jit(step_frozen)
+        step_unfrozen = jax.jit(step_unfrozen)
+        ev_step = jax.jit(ev_step)
+
+    best_val = float("inf")
+    for epoch in range(tcfg.init_epoch, tcfg.epochs):
+        frozen = freeze and epoch < tcfg.freeze_epoch
+        step_fn = step_frozen if frozen else step_unfrozen
+        lr = schedule(epoch)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+
+        t0 = time.time()
+        train_metrics = []
+        for batch in train_loader:
+            db = _device_batch(batch)
+            if mesh is not None:
+                db = shard_batch(db, mesh)
+            state, metrics = step_fn(state, db)
+            train_metrics.append(metrics)
+        tm = {
+            k: float(np.mean([float(m[k]) for m in train_metrics]))
+            for k in train_metrics[0]
+        } if train_metrics else {}
+
+        vm = {}
+        if val_loader is not None:
+            val_metrics = []
+            variables = eval_variables(state, use_ema=cfg.optim.ema)
+            for batch in val_loader:
+                db = _device_batch(batch)
+                if mesh is not None:
+                    db = shard_batch(db, mesh)
+                val_metrics.append(ev_step(variables, db))
+            vm = {
+                k: float(np.mean([float(m[k]) for m in val_metrics]))
+                for k in val_metrics[0]
+            } if val_metrics else {}
+
+        log(
+            f"epoch {epoch + 1}/{tcfg.epochs} lr={lr:.2e} "
+            f"loss={tm.get('loss', float('nan')):.3f} "
+            f"det={tm.get('loss_det', float('nan')):.3f} "
+            f"seg={tm.get('loss_seg', float('nan')):.3f} "
+            f"val={vm.get('loss', float('nan')):.3f} "
+            f"f_score={tm.get('f_score', float('nan')):.3f} "
+            f"({time.time() - t0:.1f}s{' frozen' if frozen else ''})"
+        )
+        loss_history.append_loss(
+            epoch + 1, tm.get("loss", float("nan")), vm.get("loss", float("nan"))
+        )
+
+        variables = eval_variables(state, use_ema=cfg.optim.ema)
+        if det_cb is not None:
+            ap = det_cb.on_epoch_end(epoch + 1, variables)
+            if ap is not None:
+                log(f"  val AP50 = {ap:.4f}")
+        if seg_cb is not None:
+            miou = seg_cb.on_epoch_end(epoch + 1, variables)
+            if miou is not None:
+                log(f"  val mIoU = {miou:.4f}")
+
+        # checkpoints: periodic, best (val-loss improvement), last
+        if (epoch + 1) % tcfg.save_period == 0 or epoch + 1 == tcfg.epochs:
+            save_checkpoint(os.path.join(save_dir, "ckpt"), state, step=epoch + 1)
+        if vm and vm["loss"] <= best_val:
+            best_val = vm["loss"]
+            save_weights(
+                os.path.join(save_dir, "best_epoch_weights.npz"),
+                variables["params"], variables["batch_stats"],
+            )
+        save_weights(
+            os.path.join(save_dir, "last_epoch_weights.npz"),
+            variables["params"], variables["batch_stats"],
+        )
+    loss_history.close()
+    return state

@@ -1,0 +1,59 @@
+"""Pallas cluster kernel vs the jnp reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asy_vrnet_tpu.ops.cluster import cluster_mix
+from asy_vrnet_tpu.ops.cluster_pallas import cluster_mix_pallas, pallas_supported
+
+
+@pytest.mark.parametrize("hw,heads,fold,prop,d", [
+    ((16, 16), 4, (2, 2), (2, 2), 32),   # backbone stage shapes
+    ((16, 16), 2, (4, 4), (2, 2), 16),
+    ((8, 8), 1, (1, 1), (2, 2), 24),     # neck CoCConv head_dim=24
+    ((24, 16), 2, (2, 2), (2, 2), 8),    # non-square
+])
+def test_pallas_matches_jnp(hw, heads, fold, prop, d):
+    rng = np.random.default_rng(3)
+    h, w = hw
+    c = heads * d
+    feat = rng.standard_normal((2, h, w, c)).astype(np.float32)
+    value = rng.standard_normal((2, h, w, c)).astype(np.float32)
+    kwargs = dict(heads=heads, fold_h=fold[0], fold_w=fold[1],
+                  proposal_h=prop[0], proposal_w=prop[1])
+    assert pallas_supported(feat.shape, **kwargs)
+    a, b = jnp.float32(1.1), jnp.float32(-0.3)
+    ref = cluster_mix(jnp.asarray(feat), jnp.asarray(value), a, b, **kwargs)
+    out = cluster_mix_pallas(jnp.asarray(feat), jnp.asarray(value), a, b, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_gradients_match_jnp():
+    rng = np.random.default_rng(4)
+    feat = rng.standard_normal((1, 8, 8, 16)).astype(np.float32)
+    value = rng.standard_normal((1, 8, 8, 16)).astype(np.float32)
+    kwargs = dict(heads=2, fold_h=2, fold_w=2, proposal_h=2, proposal_w=2)
+
+    def loss_ref(f, v, a, b):
+        return jnp.sum(cluster_mix(f, v, a, b, **kwargs) ** 2)
+
+    def loss_pal(f, v, a, b):
+        return jnp.sum(cluster_mix_pallas(f, v, a, b, **kwargs) ** 2)
+
+    args = (jnp.asarray(feat), jnp.asarray(value), jnp.float32(1.0), jnp.float32(0.1))
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_unsupported_shape_falls_back():
+    # tiny channel count per head -> unsupported, must still compute correctly
+    feat = jnp.asarray(np.random.default_rng(5).standard_normal((1, 8, 8, 4)), jnp.float32)
+    kwargs = dict(heads=1, fold_h=2, fold_w=2, proposal_h=2, proposal_w=2)
+    assert not pallas_supported(feat.shape, **kwargs)
+    out = cluster_mix_pallas(feat, feat, jnp.float32(1.0), jnp.float32(0.0), **kwargs)
+    ref = cluster_mix(feat, feat, jnp.float32(1.0), jnp.float32(0.0), **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -1,0 +1,96 @@
+"""Data pipeline: synthetic dataset round-trip through the loader."""
+import numpy as np
+import pytest
+
+from asy_vrnet_tpu.data.dataset import (
+    DataLoader,
+    WaterScenesDataset,
+    parse_annotation_line,
+    read_annotation_file,
+)
+from asy_vrnet_tpu.data.preprocess import (
+    boxes_xyxy_to_cxcywh,
+    letterbox_boxes,
+    normalize_image,
+    normalize_radar_minmax,
+)
+from asy_vrnet_tpu.data.synthetic import write_synthetic_voc_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return write_synthetic_voc_dataset(str(root), num_images=4, hw=(128, 96))
+
+
+def test_parse_annotation_line():
+    path, boxes, image_id = parse_annotation_line(
+        "/data/JPEGImages/1600000000.10003.jpg 10,20,50,60,1 5,5,25,30,0"
+    )
+    assert image_id == "1600000000.10003"
+    assert boxes.shape == (2, 5)
+    assert boxes[0].tolist() == [10, 20, 50, 60, 1]
+
+
+def test_dataset_item_shapes(synth):
+    lines = read_annotation_file(synth["annotation_path"])
+    ds = WaterScenesDataset(
+        lines, (128, 96), 4, 9, synth["radar_root"], synth["seg_dataset_path"],
+        max_boxes=16,
+    )
+    # note: radar in synthetic data is (4,128,96) == input_shape, letterboxed
+    # image is resized to (h,w)=(128,96)
+    item = ds[0]
+    assert item["image"].shape == (128, 96, 3)
+    assert item["radar"].shape == (128, 96, 4)
+    assert item["gt_boxes"].shape == (16, 4)
+    assert item["seg_target"].shape == (128, 96)
+    assert item["seg_onehot"].shape == (128, 96, 10)
+    assert item["gt_valid"].any()
+    # boxes are cxcywh in pixels within the input frame
+    valid_boxes = item["gt_boxes"][item["gt_valid"]]
+    assert np.all(valid_boxes[:, 2:] > 0)
+    assert np.all(valid_boxes[:, 0] <= 96) and np.all(valid_boxes[:, 1] <= 128)
+
+
+def test_loader_batches_and_prefetch(synth):
+    lines = read_annotation_file(synth["annotation_path"])
+    ds = WaterScenesDataset(
+        lines, (128, 96), 4, 9, synth["radar_root"], synth["seg_dataset_path"],
+        max_boxes=16,
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=True, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 128, 96, 3)
+    assert len(batches[0]["image_id"]) == 2
+
+
+def test_letterbox_boxes_transform():
+    boxes = np.array([[0, 0, 100, 50, 2]], np.float32)
+    out = letterbox_boxes(boxes, (100, 50), (200, 200))
+    # scale = 2, nw=200, nh=100, dy=50
+    assert out.shape == (1, 5)
+    np.testing.assert_allclose(out[0, :4], [0, 50, 200, 150])
+    # degenerate boxes dropped
+    tiny = np.array([[10, 10, 10.5, 10.5, 0]], np.float32)
+    assert len(letterbox_boxes(tiny, (100, 100), (100, 100))) == 0
+
+
+def test_normalizers():
+    img = np.full((4, 4, 3), 255.0, np.float32)
+    out = normalize_image(img)
+    np.testing.assert_allclose(
+        out[0, 0], (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225]),
+        rtol=1e-5,
+    )
+    radar = np.array([[-5.0, 0.0], [5.0, 10.0]])
+    out = normalize_radar_minmax(radar)
+    assert out.min() == pytest.approx(1e-13)
+    assert out.max() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_box_conversion():
+    b = np.array([[10, 20, 30, 60, 1]], np.float32)
+    out = boxes_xyxy_to_cxcywh(b)
+    np.testing.assert_allclose(out[0], [20, 40, 20, 40, 1])
