@@ -14,7 +14,9 @@ import os
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="predict",
-                   choices=["predict", "fps", "dir_predict", "heatmap", "map_txt"])
+                   choices=["predict", "fps", "dir_predict", "heatmap", "map_txt", "video"])
+    p.add_argument("--video", help="input video path (video mode)")
+    p.add_argument("--video-out", default="", help="output video path (video mode)")
     p.add_argument("--image", help="input image path (or dir for dir_predict)")
     p.add_argument("--radar", help="radar .npz path (or dir for dir_predict)")
     p.add_argument("--weights", required=True, help=".npz weights")
@@ -86,6 +88,48 @@ def main(argv=None) -> None:
             res = det.detect(image, radar)
             det.draw(image, res).save(os.path.join(args.out, name))
         print(f"saved to {args.out}")
+    elif args.mode == "video":
+        # reference predict.py video mode (:74-140); radar: a single static
+        # .npz or a directory of per-frame <frame_idx>.npz files
+        import cv2
+        from PIL import Image
+
+        cap = cv2.VideoCapture(args.video)
+        if not cap.isOpened():
+            raise SystemExit(f"error: cannot open video {args.video}")
+        writer = None
+        if args.video_out:
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+            size = (
+                int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            )
+            writer = cv2.VideoWriter(args.video_out, fourcc, fps, size)
+        static_radar = None
+        if args.radar and os.path.isfile(args.radar):
+            static_radar = np.load(args.radar)["arr_0"]
+        frame_idx = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            image = Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if static_radar is not None:
+                radar = static_radar
+            else:
+                rp = os.path.join(args.radar, f"{frame_idx}.npz")
+                radar = np.load(rp)["arr_0"]
+            res = det.detect(image, radar)
+            drawn = det.draw(image, res)
+            out_frame = cv2.cvtColor(np.asarray(drawn), cv2.COLOR_RGB2BGR)
+            if writer is not None:
+                writer.write(out_frame)
+            frame_idx += 1
+        cap.release()
+        if writer is not None:
+            writer.release()
+        print(f"processed {frame_idx} frames" + (f" -> {args.video_out}" if args.video_out else ""))
     elif args.mode == "map_txt":
         from asy_vrnet_tpu.data.dataset import _ID_PATTERN
 

@@ -57,6 +57,10 @@ class WaterScenesDataset:
         max_boxes: int = 100,
         radar_norm: str = "none",
         seg_subdir: str = os.path.join("VOC2007", "SegmentationClass"),
+        augment: bool = False,
+        weather: bool = False,
+        flip_prob: float = 0.5,
+        seed: int = 0,
     ):
         self.lines = [l for l in annotation_lines if l.strip()]
         self.input_shape = input_shape
@@ -66,6 +70,20 @@ class WaterScenesDataset:
         self.seg_dir = os.path.join(seg_dataset_path, seg_subdir)
         self.max_boxes = max_boxes
         self.radar_norm = radar_norm
+        # augment=True applies geometry-consistent flip (image+boxes+seg+radar)
+        # and photometric HSV jitter / weather on the image only.  The
+        # reference's random branch is dead code and its weather augs are
+        # disabled (utils/dataloader.py:151-163, train.py:498-508), so the
+        # default here is off for parity.
+        self.augment = augment
+        self.weather = weather
+        self.flip_prob = flip_prob
+        self.aug_rng = np.random.default_rng(seed)
+        # native C++ npz loader (GIL-free, threaded): used when the library
+        # builds; transparent numpy fallback otherwise
+        from asy_vrnet_tpu.data import native_io
+
+        self._native_npz = native_io.load_npz if native_io.native_available() else None
 
     def __len__(self) -> int:
         return len(self.lines)
@@ -76,7 +94,11 @@ class WaterScenesDataset:
 
         path, boxes, image_id = parse_annotation_line(self.lines[index])
         image = cvt_color(Image.open(path))
-        radar = np.load(os.path.join(self.radar_root, image_id + ".npz"))["arr_0"]
+        radar_path = os.path.join(self.radar_root, image_id + ".npz")
+        if self._native_npz is not None:
+            radar = self._native_npz(radar_path)
+        else:
+            radar = np.load(radar_path)["arr_0"]
         seg = Image.open(os.path.join(self.seg_dir, image_id + ".png"))
         return image, boxes, radar, seg, image_id
 
@@ -89,7 +111,6 @@ class WaterScenesDataset:
         boxes_lb = letterbox_boxes(boxes, image.size, (w, h))
         boxes_cxcywh = boxes_xyxy_to_cxcywh(boxes_lb)
 
-        img_arr = normalize_image(np.asarray(image_lb)).astype(np.float32)
         radar = np.asarray(radar, np.float32)
         if self.radar_norm == "minmax":
             radar = normalize_radar_minmax(radar).astype(np.float32)
@@ -100,7 +121,33 @@ class WaterScenesDataset:
                 f"radar map {radar_arr.shape} does not match input {h}x{w}"
             )
 
-        seg_arr = np.asarray(seg_lb).astype(np.int64)
+        img_u8 = np.asarray(image_lb)
+        seg_u8 = np.asarray(seg_lb)
+        if self.augment:
+            from asy_vrnet_tpu.data.augment import apply_weather, flip_horizontal, hsv_jitter
+
+            if self.aug_rng.random() < self.flip_prob:
+                img_u8, boxes_cxcywh_xyxy, seg_u8, radar_arr = flip_horizontal(
+                    img_u8,
+                    # flip operates on xyxy; convert back after
+                    np.concatenate(
+                        [
+                            boxes_cxcywh[:, :2] - boxes_cxcywh[:, 2:4] / 2,
+                            boxes_cxcywh[:, :2] + boxes_cxcywh[:, 2:4] / 2,
+                            boxes_cxcywh[:, 4:5],
+                        ],
+                        axis=-1,
+                    ) if len(boxes_cxcywh) else np.zeros((0, 5), np.float32),
+                    seg_u8, radar_arr,
+                )
+                boxes_cxcywh = boxes_xyxy_to_cxcywh(boxes_cxcywh_xyxy)
+            img_u8 = hsv_jitter(np.ascontiguousarray(img_u8), self.aug_rng)
+            if self.weather:
+                img_u8 = apply_weather(img_u8, self.aug_rng)
+            radar_arr = np.ascontiguousarray(radar_arr)
+
+        img_arr = normalize_image(img_u8).astype(np.float32)
+        seg_arr = seg_u8.astype(np.int64)
         seg_arr[seg_arr >= self.num_seg_classes] = self.num_seg_classes
         onehot = np.eye(self.num_seg_classes + 1, dtype=np.float32)[seg_arr]
 

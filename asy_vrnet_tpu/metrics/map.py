@@ -45,6 +45,25 @@ def coco_ap_from_pr(rec: np.ndarray, prec: np.ndarray) -> float:
     return float(np.mean(q))
 
 
+def log_average_miss_rate(precision: np.ndarray, fp_cumsum: np.ndarray,
+                          num_images: int) -> tuple[float, np.ndarray, np.ndarray]:
+    """LAMR over 9 FPPI points in [1e-2, 1e0] (utils_map.py:30-66).
+
+    Returns (lamr, miss_rate, fppi)."""
+    if precision.size == 0:
+        return 0.0, np.asarray(1.0), np.asarray(0.0)
+    fppi = fp_cumsum / float(num_images)
+    mr = 1.0 - precision
+    fppi_tmp = np.insert(fppi, 0, -1.0)
+    mr_tmp = np.insert(mr, 0, 1.0)
+    ref = np.logspace(-2.0, 0.0, num=9)
+    for i, ref_i in enumerate(ref):
+        j = np.where(fppi_tmp <= ref_i)[0][-1]
+        ref[i] = mr_tmp[j]
+    lamr = float(np.exp(np.mean(np.log(np.maximum(1e-10, ref)))))
+    return lamr, mr, fppi
+
+
 def _iou_matrix(det: np.ndarray, gt: np.ndarray) -> np.ndarray:
     """(D,4)x(G,4) xyxy IoU."""
     if len(det) == 0 or len(gt) == 0:

@@ -87,3 +87,16 @@ def test_miou_accumulator_perfect():
     res = acc.result()
     assert res["miou"] == pytest.approx(1.0)
     assert res["accuracy"] == pytest.approx(1.0)
+
+
+def test_log_average_miss_rate():
+    from asy_vrnet_tpu.metrics.map import log_average_miss_rate
+
+    # perfect detector: precision 1 everywhere, no FPs -> lamr ~ miss rate 0
+    prec = np.array([1.0, 1.0, 1.0])
+    fp = np.array([0.0, 0.0, 0.0])
+    lamr, mr, fppi = log_average_miss_rate(prec, fp, num_images=10)
+    assert lamr < 1e-6
+    # empty detections
+    lamr, mr, fppi = log_average_miss_rate(np.array([]), np.array([]), 10)
+    assert lamr == 0.0
