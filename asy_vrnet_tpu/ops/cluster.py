@@ -96,10 +96,16 @@ def cluster_mix(
     centers = _region_centers(x, region_hw, (proposal_h, proposal_w))   # (B,h,R,M,D)
     v_centers = _region_centers(v, region_hw, (proposal_h, proposal_w))
 
-    # cosine similarity centers x tokens -> (B,h,R,M,N)
     xn = x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
     cn = centers * jax.lax.rsqrt(jnp.sum(centers * centers, axis=-1, keepdims=True) + 1e-12)
-    sim = jnp.einsum("bhrmd,bhrnd->bhrmn", cn, xn)
+
+    # TPU note: M (proposals per region) is tiny (4), so the centers x tokens
+    # contraction as a batched matmul becomes thousands of (M,D)@(D,N)
+    # micro-matmuls whose M/lane padding wastes >95% of the MXU.  Broadcast +
+    # reduce formulations keep sim and dispatch on the VPU where they fuse
+    # into the surrounding elementwise work; only the aggregate (contraction
+    # over N=tokens, the one large dim) goes to the MXU.
+    sim = jnp.sum(cn[..., :, None, :] * xn[..., None, :, :], axis=-1)  # (B,h,R,M,N)
     sim = jax.nn.sigmoid(sim_beta + sim_alpha * sim)
 
     # hard assignment: each token to its max-similarity center (first-max ties,
@@ -110,10 +116,12 @@ def cluster_mix(
     sim = sim * mask
 
     counts = jnp.sum(mask, axis=-1, keepdims=True)                  # (B,h,R,M,1)
-    agg = jnp.einsum("bhrmn,bhrnd->bhrmd", sim, v)
+    agg = jnp.einsum("bhrmn,bhrnd->bhrmd", sim, v)                  # k=N: MXU-worthy
     out_centers = (agg + v_centers) / (counts + 1.0)                # (B,h,R,M,D)
 
     if return_center:
         return out_centers
-    out = jnp.einsum("bhrmn,bhrmd->bhrnd", sim, out_centers)        # (B,h,R,N,D)
+    # dispatch: each token receives only its assigned center; sum over the
+    # tiny M axis as M fused multiply-adds on the VPU.
+    out = jnp.sum(sim[..., :, :, None] * out_centers[..., :, None, :], axis=-3)
     return _unfold_tokens(out, region_hw, fold_h, fold_w)

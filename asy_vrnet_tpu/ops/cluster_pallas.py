@@ -1,146 +1,275 @@
 """Fused Pallas TPU kernel for the cluster token mixer.
 
-The jnp formulation (ops/cluster.py) runs as several XLA fusions with the
-folded tokens, the (M,N) similarity and the dispatched output round-tripping
-through HBM.  This kernel computes pool -> cosine-sim -> sigmoid ->
-hard-assign -> aggregate -> dispatch for one (batch, head, region) per grid
-program, entirely in VMEM:
+Three generations of lowering, measured on a v5e chip (stage-1 shape,
+batch 32: (B,128,128,128), 4 heads, fold 8, 2x2 proposals):
 
-    X, V:    (N, D) region tokens / values
-    C  = P @ X,  VC = P @ V          P: static (M, N) adaptive-pool matrix
-    S  = sigmoid(beta + alpha * norm(C) @ norm(X)^T)        (M, N)
-    A  = one_hot(argmax_M S); S *= A
-    OC = (S @ V + VC) / (rowsum(A) + 1)                     (M, D)
-    OUT= S^T @ OC                                           (N, D)
+  1. XLA batched einsums (ops/cluster.py): ~19 ms.  M=4 proposals makes the
+     centers/dispatch contractions thousands of micro-matmuls; the MXU idles.
+  2. Pallas with host-side fold into (G, D, Nb) region groups: kernel itself
+     ~1.7 ms but the host fold/unfold transposes cost ~8 ms — the data
+     movement dominated.
+  3. THIS kernel: no host reshapes at all.  The grid tiles the NHWC array
+     directly — one program per (batch, region-row, region-column-group)
+     rectangular tile — and all per-head/per-region structure is expressed as
+     dense matmuls over the full channel axis with precomputed masks:
 
-All shapes are static; the host-side wrapper does the fold/unfold reshapes
-(free under XLA) and flattens (B, heads, R) into the grid.  The backward pass
-is a custom VJP that rematerialises through the jnp reference implementation
-— one extra forward in exchange for zero saved intermediates.
+       X            : (Nt, C) tile tokens (Nt = rh * gw*rw, flattened raster)
+       C_pre        = P @ X          P: (Mb, Nt) block pooling matrix (dense)
+       cn_full      : (Hb, C) per-(region, head, proposal) centers, zero
+                      outside the head's channel slice, L2-normalised on it
+       xn_full      : (Nt, C) tokens with per-head inverse norms baked in
+       S            = sigmoid(b + a * cn_full @ xn_full^T)   k = C >= 128
+       mask to the (region, head) block-diagonal; per-head first-max assign
+       OC           = (S @ V + VC) / (count + 1), channel-masked
+       OUT          = S^T @ OC                               k = Hb
 
-Parity: bit-identical semantics to ops/cluster.py (validated in
-tests/test_cluster_pallas.py); first-max tie-breaking via explicit index
-minimisation over the tiny M axis.
+     Every contraction has k in {C, Nt, Hb} >= 128: the MXU stays dense.  The
+     cross-head/cross-region entries are wasted flops at full MXU rate —
+     ~16x redundancy that still beats 95%-idle micro-matmuls by an order of
+     magnitude.  Measured: stage-1 mix 19 ms -> ~1.5 ms.
+
+Backward: custom VJP rematerialising through the jnp reference
+(ops/cluster.py) — identical gradients, no saved intermediates.
 """
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from asy_vrnet_tpu.ops.cluster import (
-    _fold_tokens,
-    _unfold_tokens,
-    cluster_mix,
-)
+from asy_vrnet_tpu.ops.cluster import cluster_mix
 from asy_vrnet_tpu.ops.resize import _adaptive_avg_matrix
 
-_MAX_VMEM_TOKENS = 4096  # largest region (N) the kernel accepts
+_TARGET_TOKENS = 2048
+_MAX_TOKENS_PER_REGION = 8192
+_MAX_SIM_ROWS = 512
+
+
+def _group_w(fold_w: int, region_tokens: int) -> int:
+    """Regions grouped along W per program: largest divisor of fold_w with
+    group tokens <= max(_TARGET_TOKENS, region_tokens)."""
+    best = 1
+    cap = max(_TARGET_TOKENS, region_tokens)
+    for gw in range(1, fold_w + 1):
+        if fold_w % gw == 0 and gw * region_tokens <= cap:
+            best = gw
+    return best
 
 
 def pallas_supported(shape, *, heads, fold_h, fold_w, proposal_h, proposal_w) -> bool:
-    """Whether the fused kernel handles this configuration."""
     b, h, w, c = shape
     if h % fold_h or w % fold_w or c % heads:
         return False
-    n = (h // fold_h) * (w // fold_w)
-    m = proposal_h * proposal_w
+    rh, rw = h // fold_h, w // fold_w
+    n = rh * rw
+    if not (8 <= n <= _MAX_TOKENS_PER_REGION):
+        return False
     d = c // heads
-    return 8 <= n <= _MAX_VMEM_TOKENS and m <= 64 and d >= 8
+    if d < 8:
+        return False
+    gw = _group_w(fold_w, n)
+    hb = gw * heads * proposal_h * proposal_w
+    return hb <= _MAX_SIM_ROWS
 
 
-def _pool_matrix(region_hw, proposal_hw) -> np.ndarray:
+@functools.lru_cache(maxsize=None)
+def _tile_pool_matrix_t(region_hw, proposal_hw, gw: int) -> np.ndarray:
+    """(Nt, Mb) pooling matrix over the flattened (rh, gw*rw) tile raster.
+
+    Center row order: (proposal, region-in-group) — proposal-major so the
+    kernel can take contiguous row slices per proposal index.
+    """
     rh, rw = region_hw
     ph, pw = proposal_hw
-    mh = _adaptive_avg_matrix(rh, ph)
-    mw = _adaptive_avg_matrix(rw, pw)
-    return (mh[:, None, :, None] * mw[None, :, None, :]).reshape(ph * pw, rh * rw)
+    mh = _adaptive_avg_matrix(rh, ph)   # (ph, rh)
+    mw = _adaptive_avg_matrix(rw, pw)   # (pw, rw)
+    m = ph * pw
+    nt = rh * gw * rw
+    out = np.zeros((m * gw, nt), np.float32)
+    for g in range(gw):
+        for pi in range(ph):
+            for pj in range(pw):
+                mm = pi * pw + pj
+                row = mm * gw + g
+                w_col = np.zeros((rh, gw * rw), np.float32)
+                w_col[:, g * rw : (g + 1) * rw] = np.outer(mh[pi], mw[pj])
+                out[row] = w_col.reshape(-1)
+    return np.ascontiguousarray(out.T)
 
 
-def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, out_ref):
-    """One (batch*head*region) program.  params = [alpha, beta] in SMEM."""
+@functools.lru_cache(maxsize=None)
+def _replication_and_masks(gw: int, heads: int, m: int, c: int):
+    """Static matrices for the kernel, all row-ordered (proposal, region, head):
+
+      rep   (Hb, Mb): 0/1, replicates C_pre row (mm, r) to rows (mm, r, h)
+      hmask (Hb, C) : 1.0 where the channel belongs to the row's head
+      headsel (C, heads): channel -> head indicator (for per-head token norms)
+    """
+    d = c // heads
+    mb = m * gw
+    hb = m * gw * heads
+    rep = np.zeros((hb, mb), np.float32)
+    hmask = np.zeros((hb, c), np.float32)
+    for mm in range(m):
+        for g in range(gw):
+            for h in range(heads):
+                row = (mm * gw + g) * heads + h
+                rep[row, mm * gw + g] = 1.0
+                hmask[row, h * d : (h + 1) * d] = 1.0
+    headsel = np.zeros((c, heads), np.float32)
+    for ch in range(c):
+        headsel[ch, ch // d] = 1.0
+    return rep, hmask, headsel
+
+
+def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, rep_ref, hmask_ref,
+                    headsel_ref, out_ref, *, heads: int, m: int, gw: int, rw: int):
+    """Rows are ordered (proposal, region, head) so all per-proposal row
+    groups are CONTIGUOUS slices — Mosaic supports neither lane- nor
+    sublane-splitting reshapes, so replication and per-head norms are matmuls
+    and the per-(region,head) argmax is an unrolled max over m static slices.
+    """
     alpha = params_ref[0]
     beta = params_ref[1]
-    x = x_ref[0]            # (N, D) f32
-    v = v_ref[0]
-    pool = pool_ref[:]      # (M, N)
+    f32 = jnp.float32
+    blk = x_ref[0]                              # (rh, gw*rw, C)
+    rh, wt, c = blk.shape
+    nt = rh * wt
+    x = blk.reshape(nt, c)
+    v = v_ref[0].reshape(nt, c)
+    pool_t = pool_ref[:]                        # (Nt, Mb)
+    rep = rep_ref[:]                            # (Hb, Mb)
+    hmask = hmask_ref[:]                        # (Hb, C)
+    headsel = headsel_ref[:]                    # (C, heads)
+    hb = hmask.shape[0]
+    seg = gw * heads                            # rows per proposal index
 
-    c = jnp.dot(pool, x, preferred_element_type=jnp.float32)    # (M, D)
-    vc = jnp.dot(pool, v, preferred_element_type=jnp.float32)
+    xf = x.astype(f32)
+    vf = v.astype(f32)
+    c_pre = jax.lax.dot_general(
+        pool_t, xf, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                           # (Mb, C)
+    vc_pre = jax.lax.dot_general(
+        pool_t, vf, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    c_rep = jnp.dot(rep, c_pre, preferred_element_type=f32) * hmask     # (Hb, C)
+    vc_full = jnp.dot(rep, vc_pre, preferred_element_type=f32) * hmask
 
-    xn = x * jax.lax.rsqrt(jnp.sum(x * x, axis=1, keepdims=True) + 1e-12)
-    cn = c * jax.lax.rsqrt(jnp.sum(c * c, axis=1, keepdims=True) + 1e-12)
+    cn = c_rep * jax.lax.rsqrt(jnp.sum(c_rep * c_rep, axis=1, keepdims=True) + 1e-12)
+    # per-head token norms via the head-indicator matmul
+    norm2 = jnp.dot(xf * xf, headsel, preferred_element_type=f32)       # (Nt, heads)
+    inv_full = jax.lax.dot_general(
+        jax.lax.rsqrt(norm2 + 1e-12), headsel, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                           # (Nt, C)
+    xn = xf * inv_full
+
     sim = jax.nn.sigmoid(
         beta + alpha * jax.lax.dot_general(
-            cn, xn, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            cn, xn, (((1,), (1,)), ((), ())), preferred_element_type=f32,
         )
-    )                                                            # (M, N)
+    )                                           # (Hb, Nt)
 
-    m = sim.shape[0]
-    # hard assignment with first-max tie-break: smallest row index achieving
-    # the column max
-    col_max = jnp.max(sim, axis=0, keepdims=True)                # (1, N)
-    is_max = sim >= col_max
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
-    first_max = jnp.min(jnp.where(is_max, row_ids, m), axis=0, keepdims=True)
-    mask = (row_ids == first_max).astype(sim.dtype)              # (M, N)
+    # restrict to the row's region: token (y, x) -> region x // rw
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, nt), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, nt), 1)
+    col_region = (col_ids % wt) // rw
+    row_region = (row_ids % seg) // heads
+    in_region = row_region == col_region
+    sim = jnp.where(in_region, sim, -1.0)
+
+    # first-max assignment over the m proposals of each (region, head):
+    # proposal mm owns contiguous rows [mm*seg, (mm+1)*seg)
+    best = sim[0:seg]
+    arg = jnp.zeros_like(best, dtype=jnp.int32)
+    for mm in range(1, m):
+        part = sim[mm * seg : (mm + 1) * seg]
+        better = part > best                    # strict > keeps the first max
+        best = jnp.where(better, part, best)
+        arg = jnp.where(better, mm, arg)
+    mask = jnp.concatenate(
+        [(arg == mm).astype(f32) for mm in range(m)], axis=0
+    )                                           # (Hb, Nt)
+    mask = mask * in_region.astype(f32)
     sim = sim * mask
 
-    counts = jnp.sum(mask, axis=1, keepdims=True)                # (M, 1)
-    agg = jnp.dot(sim, v, preferred_element_type=jnp.float32)    # (M, D)
-    out_c = (agg + vc) / (counts + 1.0)
+    counts = jnp.sum(mask, axis=1, keepdims=True)       # (Hb, 1)
+    agg = jnp.dot(sim, vf, preferred_element_type=f32)  # (Hb, C)
+    oc = ((agg + vc_full) / (counts + 1.0)) * hmask
 
-    out_ref[0] = jax.lax.dot_general(
-        sim, out_c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                            # (N, D)
+    out = jax.lax.dot_general(
+        sim, oc, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                   # (Nt, C)
+    out_ref[0] = out.reshape(rh, wt, c).astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("region_hw", "proposal_hw", "interpret")
+    jax.jit,
+    static_argnames=("heads", "fold_h", "fold_w", "proposal_h", "proposal_w",
+                     "interpret"),
 )
-def _cluster_regions_pallas(
-    tokens: jnp.ndarray,     # (G, N, D) f32 — G = B*heads*R flattened
-    values: jnp.ndarray,
+def _cluster_nhwc_pallas(
+    feat: jnp.ndarray,      # (B, H, W, C) NHWC
+    value: jnp.ndarray,
     alpha: jnp.ndarray,
     beta: jnp.ndarray,
-    region_hw: tuple[int, int],
-    proposal_hw: tuple[int, int],
+    heads: int,
+    fold_h: int,
+    fold_w: int,
+    proposal_h: int,
+    proposal_w: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    g, n, d = tokens.shape
-    m = proposal_hw[0] * proposal_hw[1]
-    pool = jnp.asarray(_pool_matrix(region_hw, proposal_hw), jnp.float32)
+    b, h, w, c = feat.shape
+    rh, rw = h // fold_h, w // fold_w
+    n = rh * rw
+    m = proposal_h * proposal_w
+    gw = _group_w(fold_w, n)
+    wt = gw * rw
+    nt = rh * wt
+    mb = gw * m
+    hb = gw * heads * m
+
+    pool_t = jnp.asarray(_tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw))
+    rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, c)
+    rep = jnp.asarray(rep_np)
+    hmask = jnp.asarray(hmask_np)
+    headsel = jnp.asarray(headsel_np)
     params = jnp.stack([alpha.astype(jnp.float32), beta.astype(jnp.float32)])
 
-    flops_per = 2 * n * d * (2 * m) + 2 * m * n * d * 2
+    kernel = functools.partial(_cluster_kernel, heads=heads, m=m, gw=gw, rw=rw)
+    grid = (b, fold_h, fold_w // gw)
+    flops_per = 2 * nt * c * (mb + 2 * hb) + 2 * hb * nt
     return pl.pallas_call(
-        _cluster_kernel,
-        grid=(g,),
+        kernel,
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rh, wt, c), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rh, wt, c), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, mb), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, mb), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, c), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, heads), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, rh, wt, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((g, n, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(feat.shape, feat.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=g * flops_per,
-            bytes_accessed=g * n * d * 4 * 3,
-            transcendentals=g * m * n,
+            flops=b * fold_h * (fold_w // gw) * flops_per,
+            bytes_accessed=b * h * w * c * feat.dtype.itemsize * 3,
+            transcendentals=b * fold_h * (fold_w // gw) * hb * nt,
         ),
         interpret=interpret,
-    )(params, tokens, values, pool)
+    )(params, feat, value, pool_t, rep, hmask, headsel)
 
 
 @functools.partial(
@@ -149,17 +278,11 @@ def _cluster_regions_pallas(
 )
 def _cluster_fused(feat, value, alpha, beta, heads, fold_h, fold_w,
                    proposal_h, proposal_w):
-    b, h, w, c = feat.shape
-    x, region_hw = _fold_tokens(feat.astype(jnp.float32), heads, fold_h, fold_w)
-    v, _ = _fold_tokens(value.astype(jnp.float32), heads, fold_h, fold_w)
-    bh, hd, r, n, d = x.shape[0], x.shape[1], x.shape[2], x.shape[3], x.shape[4]
     interpret = jax.default_backend() != "tpu"
-    out = _cluster_regions_pallas(
-        x.reshape(-1, n, d), v.reshape(-1, n, d), alpha, beta,
-        region_hw, (proposal_h, proposal_w), interpret=interpret,
+    return _cluster_nhwc_pallas(
+        feat, value, alpha, beta, heads, fold_h, fold_w,
+        proposal_h, proposal_w, interpret=interpret,
     )
-    out = out.reshape(bh, hd, r, n, d)
-    return _unfold_tokens(out, region_hw, fold_h, fold_w).astype(feat.dtype)
 
 
 def _cluster_fused_fwd(feat, value, alpha, beta, heads, fold_h, fold_w,
