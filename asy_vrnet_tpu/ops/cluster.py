@@ -99,13 +99,12 @@ def cluster_mix(
     xn = x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
     cn = centers * jax.lax.rsqrt(jnp.sum(centers * centers, axis=-1, keepdims=True) + 1e-12)
 
-    # TPU note: M (proposals per region) is tiny (4), so the centers x tokens
-    # contraction as a batched matmul becomes thousands of (M,D)@(D,N)
-    # micro-matmuls whose M/lane padding wastes >95% of the MXU.  Broadcast +
-    # reduce formulations keep sim and dispatch on the VPU where they fuse
-    # into the surrounding elementwise work; only the aggregate (contraction
-    # over N=tokens, the one large dim) goes to the MXU.
-    sim = jnp.sum(cn[..., :, None, :] * xn[..., None, :, :], axis=-1)  # (B,h,R,M,N)
+    # TPU note: M (proposals per region) is tiny (4), so these batched
+    # contractions lower to thousands of padded micro-matmuls and the MXU
+    # idles — this jnp path is the reference/fallback implementation; the
+    # production path is the fused Pallas kernel (ops/cluster_pallas.py),
+    # ~10x faster on chip (see BENCH_NOTES.md).
+    sim = jnp.einsum("bhrmd,bhrnd->bhrmn", cn, xn)
     sim = jax.nn.sigmoid(sim_beta + sim_alpha * sim)
 
     # hard assignment: each token to its max-similarity center (first-max ties,
@@ -121,7 +120,5 @@ def cluster_mix(
 
     if return_center:
         return out_centers
-    # dispatch: each token receives only its assigned center; sum over the
-    # tiny M axis as M fused multiply-adds on the VPU.
-    out = jnp.sum(sim[..., :, :, None] * out_centers[..., :, None, :], axis=-3)
+    out = jnp.einsum("bhrmn,bhrmd->bhrnd", sim, out_centers)        # (B,h,R,N,D)
     return _unfold_tokens(out, region_hw, fold_h, fold_w)

@@ -295,11 +295,14 @@ def _cluster_fused_fwd(feat, value, alpha, beta, heads, fold_h, fold_w,
 
 def _cluster_fused_bwd(heads, fold_h, fold_w, proposal_h, proposal_w, res, g):
     feat, value, alpha, beta = res
+    # cast the remat's output to the primal output dtype: the jnp path
+    # promotes to f32 through the f32 alpha/beta scalars, while the kernel
+    # emits feat.dtype — the cotangent arrives in feat.dtype.
     _, vjp = jax.vjp(
         lambda f, v, a, b: cluster_mix(
             f, v, a, b, heads=heads, fold_h=fold_h, fold_w=fold_w,
             proposal_h=proposal_h, proposal_w=proposal_w,
-        ),
+        ).astype(feat.dtype),
         feat, value, alpha, beta,
     )
     return vjp(g)

@@ -57,3 +57,20 @@ def test_unsupported_shape_falls_back():
     out = cluster_mix_pallas(feat, feat, jnp.float32(1.0), jnp.float32(0.0), **kwargs)
     ref = cluster_mix(feat, feat, jnp.float32(1.0), jnp.float32(0.0), **kwargs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_bf16_gradients():
+    """bf16 primal (the training configuration) must produce grads without
+    dtype mismatches in the custom VJP."""
+    rng = np.random.default_rng(6)
+    feat = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.bfloat16)
+    value = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.bfloat16)
+    kwargs = dict(heads=2, fold_h=2, fold_w=2, proposal_h=2, proposal_w=2)
+
+    def loss(f, v):
+        out = cluster_mix_pallas(f, v, jnp.float32(1.0), jnp.float32(0.0), **kwargs)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(feat, value)
+    assert g[0].dtype == jnp.bfloat16
+    assert all(np.all(np.isfinite(np.asarray(x, np.float32))) for x in g)
