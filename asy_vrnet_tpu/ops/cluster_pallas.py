@@ -272,6 +272,178 @@ def _cluster_nhwc_pallas(
     )(params, feat, value, pool_t, rep, hmask, headsel)
 
 
+def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
+                        hmask_ref, headsel_ref, dx_ref, dv_ref, dab_ref, *,
+                        heads: int, m: int, gw: int, rw: int):
+    """Fused backward: recompute the forward's sim/mask (rematerialisation in
+    VMEM), then propagate the cotangent through dispatch -> aggregate ->
+    sigmoid -> cosine-sim -> normalisations -> pooling, all as dense matmuls
+    against the same precomputed mask matrices.  The hard assignment is
+    treated as a constant (identical to autograd through argmax/one_hot).
+    Emits per-program partial sums for d(alpha), d(beta)."""
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    f32 = jnp.float32
+    blk = x_ref[0]
+    rh, wt, c = blk.shape
+    nt = rh * wt
+    x = blk.reshape(nt, c).astype(f32)
+    v = v_ref[0].reshape(nt, c).astype(f32)
+    g = g_ref[0].reshape(nt, c).astype(f32)
+    pool_t = pool_ref[:]
+    rep = rep_ref[:]
+    hmask = hmask_ref[:]
+    headsel = headsel_ref[:]
+    hb = hmask.shape[0]
+    seg = gw * heads
+
+    # ---- recompute forward ----
+    c_pre = jax.lax.dot_general(pool_t, x, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    vc_pre = jax.lax.dot_general(pool_t, v, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    c_rep = jnp.dot(rep, c_pre, preferred_element_type=f32) * hmask
+    vc_full = jnp.dot(rep, vc_pre, preferred_element_type=f32) * hmask
+
+    inv_c = jax.lax.rsqrt(jnp.sum(c_rep * c_rep, axis=1, keepdims=True) + 1e-12)
+    cn = c_rep * inv_c
+    norm2 = jnp.dot(x * x, headsel, preferred_element_type=f32)
+    inv_full = jax.lax.dot_general(
+        jax.lax.rsqrt(norm2 + 1e-12), headsel, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    xn = x * inv_full
+
+    raw = jax.lax.dot_general(cn, xn, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)       # (Hb, Nt)
+    s = jax.nn.sigmoid(beta + alpha * raw)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, nt), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, nt), 1)
+    in_region = ((row_ids % seg) // heads) == ((col_ids % wt) // rw)
+    s_m = jnp.where(in_region, s, -1.0)
+    best = s_m[0:seg]
+    arg = jnp.zeros_like(best, dtype=jnp.int32)
+    for mm in range(1, m):
+        part = s_m[mm * seg : (mm + 1) * seg]
+        better = part > best
+        best = jnp.where(better, part, best)
+        arg = jnp.where(better, mm, arg)
+    mask = jnp.concatenate([(arg == mm).astype(f32) for mm in range(m)], axis=0)
+    mask = mask * in_region.astype(f32)
+    sim = s * mask
+
+    counts = jnp.sum(mask, axis=1, keepdims=True)
+    inv_cnt = 1.0 / (counts + 1.0)
+    agg = jnp.dot(sim, v, preferred_element_type=f32)
+    oc = ((agg + vc_full) * inv_cnt) * hmask
+
+    # ---- backward ----
+    # OUT = sim^T @ oc
+    d_oc = jnp.dot(sim, g, preferred_element_type=f32)          # (Hb, C)
+    d_sim = jax.lax.dot_general(oc, g, (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)     # (Hb, Nt)
+    # oc = ((agg + vc_full) * inv_cnt) * hmask
+    d_num = d_oc * hmask * inv_cnt                              # (Hb, C)
+    # agg = sim @ v
+    d_sim = d_sim + jax.lax.dot_general(
+        d_num, v, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+    dv = jax.lax.dot_general(sim, d_num, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)        # (Nt, C)
+    # vc path: vc_full = (rep @ (pool^T v)) * hmask; d_num already hmask'd
+    d_vc_pre = jax.lax.dot_general(rep, d_num, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)  # (Mb, C)
+    dv = dv + jnp.dot(pool_t, d_vc_pre, preferred_element_type=f32)
+
+    # sim = sigmoid(beta + alpha*raw) * mask (mask, counts constant)
+    d_s = d_sim * mask
+    sig_grad = d_s * s * (1.0 - s)
+    d_raw = sig_grad * alpha
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    dab_ref[0, 0] = jnp.where(
+        lane == 0, jnp.sum(sig_grad * raw),
+        jnp.where(lane == 1, jnp.sum(sig_grad), 0.0),
+    )
+
+    # raw = cn @ xn^T
+    d_cn = jnp.dot(d_raw, xn, preferred_element_type=f32)       # (Hb, C)
+    d_xn = jax.lax.dot_general(d_raw, cn, (((0,), (0,)), ((), ())),
+                               preferred_element_type=f32)      # (Nt, C)
+
+    # xn = x * inv_full (per-head L2 normalise)
+    dot_h = jnp.dot(xn * d_xn, headsel, preferred_element_type=f32)  # (Nt, heads)
+    dot_full = jax.lax.dot_general(dot_h, headsel, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)  # (Nt, C)
+    dx = inv_full * (d_xn - xn * dot_full)
+
+    # cn = c_rep * inv_c (rows single-head; rowwise normalise)
+    dot_c = jnp.sum(cn * d_cn, axis=1, keepdims=True)
+    d_c_rep = inv_c * (d_cn - cn * dot_c)
+    d_c_pre = jax.lax.dot_general(rep, d_c_rep * hmask, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)   # (Mb, C)
+    dx = dx + jnp.dot(pool_t, d_c_pre, preferred_element_type=f32)
+
+    dx_ref[0] = dx.reshape(rh, wt, c).astype(dx_ref.dtype)
+    dv_ref[0] = dv.reshape(rh, wt, c).astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "fold_h", "fold_w", "proposal_h", "proposal_w",
+                     "interpret"),
+)
+def _cluster_nhwc_pallas_bwd(feat, value, g, alpha, beta, heads, fold_h,
+                             fold_w, proposal_h, proposal_w, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = feat.shape
+    rh, rw = h // fold_h, w // fold_w
+    n = rh * rw
+    m = proposal_h * proposal_w
+    gw = _group_w(fold_w, n)
+    wt = gw * rw
+    nt = rh * wt
+    mb = gw * m
+    hb = gw * heads * m
+    fwg = fold_w // gw
+
+    pool_t = jnp.asarray(_tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw))
+    rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, c)
+    params = jnp.stack([alpha.astype(jnp.float32), beta.astype(jnp.float32)])
+
+    kernel = functools.partial(_cluster_bwd_kernel, heads=heads, m=m, gw=gw, rw=rw)
+    tile_spec = pl.BlockSpec((1, rh, wt, c), lambda bi, i, j: (bi, i, j, 0),
+                             memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    dx, dv, dab = pl.pallas_call(
+        kernel,
+        grid=(b, fold_h, fwg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile_spec, tile_spec, tile_spec,
+            const((nt, mb)), const((hb, mb)), const((hb, c)), const((c, heads)),
+        ],
+        out_specs=(
+            tile_spec, tile_spec,
+            pl.BlockSpec((1, 1, 1, 128), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(feat.shape, feat.dtype),
+            jax.ShapeDtypeStruct(feat.shape, feat.dtype),
+            jax.ShapeDtypeStruct((b, fold_h, fwg, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(params, feat, value, g, pool_t, jnp.asarray(rep_np),
+      jnp.asarray(hmask_np), jnp.asarray(headsel_np))
+    dalpha = jnp.sum(dab[..., 0]).astype(alpha.dtype)
+    dbeta = jnp.sum(dab[..., 1]).astype(beta.dtype)
+    return dx, dv, dalpha, dbeta
+
+
 @functools.partial(
     jax.custom_vjp,
     nondiff_argnums=(4, 5, 6, 7, 8),
@@ -295,17 +467,11 @@ def _cluster_fused_fwd(feat, value, alpha, beta, heads, fold_h, fold_w,
 
 def _cluster_fused_bwd(heads, fold_h, fold_w, proposal_h, proposal_w, res, g):
     feat, value, alpha, beta = res
-    # cast the remat's output to the primal output dtype: the jnp path
-    # promotes to f32 through the f32 alpha/beta scalars, while the kernel
-    # emits feat.dtype — the cotangent arrives in feat.dtype.
-    _, vjp = jax.vjp(
-        lambda f, v, a, b: cluster_mix(
-            f, v, a, b, heads=heads, fold_h=fold_h, fold_w=fold_w,
-            proposal_h=proposal_h, proposal_w=proposal_w,
-        ).astype(feat.dtype),
-        feat, value, alpha, beta,
+    interpret = jax.default_backend() != "tpu"
+    return _cluster_nhwc_pallas_bwd(
+        feat, value, g.astype(feat.dtype), alpha, beta,
+        heads, fold_h, fold_w, proposal_h, proposal_w, interpret=interpret,
     )
-    return vjp(g)
 
 
 _cluster_fused.defvjp(_cluster_fused_fwd, _cluster_fused_bwd)
