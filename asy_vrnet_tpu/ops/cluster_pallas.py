@@ -166,9 +166,13 @@ def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, rep_ref, hmask_ref,
     )                                           # (Nt, C)
     xn = xf * inv_full
 
+    # MXU operands in the model's compute dtype (bf16 doubles MXU rate);
+    # accumulation stays f32.  For f32 inputs this is exact.
+    mxu = x.dtype
     sim = jax.nn.sigmoid(
         beta + alpha * jax.lax.dot_general(
-            cn, xn, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            cn.astype(mxu), xn.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
         )
     )                                           # (Hb, Nt)
 
@@ -196,11 +200,14 @@ def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, rep_ref, hmask_ref,
     sim = sim * mask
 
     counts = jnp.sum(mask, axis=1, keepdims=True)       # (Hb, 1)
-    agg = jnp.dot(sim, vf, preferred_element_type=f32)  # (Hb, C)
+    agg = jax.lax.dot_general(
+        sim.astype(mxu), v, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                   # (Hb, C)
     oc = ((agg + vc_full) / (counts + 1.0)) * hmask
 
     out = jax.lax.dot_general(
-        sim, oc, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        sim.astype(mxu), oc.astype(mxu), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
     )                                                   # (Nt, C)
     out_ref[0] = out.reshape(rh, wt, c).astype(out_ref.dtype)
 

@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-BATCH = 32
+BATCH = 64
 N_CHAIN = 5
 REPEATS = 3
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
