@@ -50,6 +50,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max-boxes", type=int, default=100)
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="generate an N-image synthetic dataset and train on it")
+    p.add_argument("--augment", action="store_true",
+                   help="enable flip/HSV augmentation on the train split")
+    p.add_argument("--weather", action="store_true",
+                   help="enable rain/fog/flare weather augmentation")
+    p.add_argument("--seg-only", action="store_true",
+                   help="segmentation-only training (utils_seg fit variant)")
     return p
 
 
@@ -128,22 +134,57 @@ def main(argv=None) -> None:
         state = restore_checkpoint(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    def mk_loader(path, shuffle):
+    def mk_loader(path, shuffle, augment=False):
         ds = WaterScenesDataset(
             read_annotation_file(path), cfg.data.input_shape,
             cfg.model.num_classes, cfg.model.num_seg_classes,
             cfg.data.radar_root, cfg.data.seg_dataset_path,
             max_boxes=cfg.loss.max_boxes, seg_subdir=seg_subdir,
+            augment=augment, weather=args.weather and augment,
+            seed=cfg.train.seed,
         )
         return DataLoader(ds, cfg.train.batch_size, shuffle=shuffle, seed=cfg.train.seed)
 
-    train_loader = mk_loader(cfg.data.train_annotation_path, True)
+    train_loader = mk_loader(cfg.data.train_annotation_path, True, args.augment)
     val_loader = mk_loader(cfg.data.val_annotation_path, False)
 
     n_dev = args.num_devices if args.num_devices else len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     if mesh is not None:
         print(f"training on mesh {dict(mesh.shape)}")
+
+    if args.seg_only:
+        # seg-only schedule: one jit step over the same joint loader
+        import jax.numpy as jnp
+
+        from asy_vrnet_tpu.train.optim import make_lr_schedule, set_learning_rate
+        from asy_vrnet_tpu.train.seg_only import build_seg_train_step
+
+        schedule = make_lr_schedule(cfg.optim, cfg.train.batch_size, cfg.train.epochs)
+        step = jax.jit(build_seg_train_step(model, cfg, tx))
+        for epoch in range(cfg.train.init_epoch, cfg.train.epochs):
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, schedule(epoch))
+            )
+            losses = []
+            for batch in train_loader:
+                db = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+                state, m = step(state, db)
+                losses.append(float(m["loss"]))
+            print(
+                f"[seg-only] epoch {epoch + 1}/{cfg.train.epochs} "
+                f"loss={sum(losses) / max(len(losses), 1):.4f}"
+            )
+        from asy_vrnet_tpu.train.checkpoint import save_weights
+        from asy_vrnet_tpu.train.state import eval_variables
+
+        os.makedirs(cfg.train.save_dir, exist_ok=True)
+        variables = eval_variables(state, use_ema=cfg.optim.ema)
+        save_weights(
+            os.path.join(cfg.train.save_dir, "last_epoch_weights.npz"),
+            variables["params"], variables["batch_stats"],
+        )
+        return
 
     fit(model, cfg, state, tx, train_loader, val_loader, class_names, mesh=mesh)
 
