@@ -52,7 +52,9 @@ class ConvBnAct(nn.Module):
     """Conv2d(bias=False) -> BatchNorm(eps 1e-3, torch momentum 0.03) -> act.
 
     Equivalent of BaseConv (normal_conv.py:36-52).  With ds_conv=True the conv
-    is a depthwise k×k + pointwise 1×1 pair, both biased (DWConv, :23-33).
+    is a depthwise k×k + pointwise 1×1 pair (DWConv, :23-33); BaseConv forwards
+    its default bias=False into DWConv, so both convs are bias-free too (the
+    real reference state_dict has no head.*_convs.*.conv.{d,p}conv.bias keys).
     """
 
     features: int
@@ -71,11 +73,11 @@ class ConvBnAct(nn.Module):
             in_ch = x.shape[-1]
             x = nn.Conv(
                 in_ch, (k, k), strides=self.strides, padding=pad,
-                feature_group_count=in_ch, use_bias=True,
+                feature_group_count=in_ch, use_bias=False,
                 dtype=self.dtype, name="dconv",
             )(x)
             x = nn.Conv(
-                self.features, (1, 1), use_bias=True, dtype=self.dtype, name="pconv",
+                self.features, (1, 1), use_bias=False, dtype=self.dtype, name="pconv",
             )(x)
         else:
             x = nn.Conv(

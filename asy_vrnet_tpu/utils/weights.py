@@ -173,8 +173,25 @@ def convert_torch_state_dict(
 
     new_params = fill(params)
     new_bstats = fill(batch_stats)
-    unused = sorted(k for k in src if k not in used and "num_batches_tracked" not in k)
-    report = {"missing": missing, "unused": unused, "loaded": len(used)}
+
+    def _expected_unused(k: str) -> bool:
+        # torch bookkeeping counters we don't keep
+        if "num_batches_tracked" in k:
+            return True
+        # deterministic positional buffers (vr_coc.py:401-413) — recomputed
+        if k.endswith("fea_pos") or k.endswith("fea_pos_r"):
+            return True
+        # dead zero-size params: the initial RadarEnhanceByImage constructs a
+        # ShuffleAttention(channel=3, G=4) it never calls (vr_coc.py:325,331);
+        # with channel//(2G)==0 all its params are empty tensors.
+        if ".image_attn." in k and np.asarray(src[k]).size == 0:
+            return True
+        return False
+
+    unused = sorted(k for k in src if k not in used and not _expected_unused(k))
+    ignored = sorted(k for k in src if k not in used and _expected_unused(k))
+    report = {"missing": missing, "unused": unused, "ignored": ignored,
+              "loaded": len(used)}
     if verbose:
         print(
             f"convert_torch_state_dict: {len(used)} loaded, "

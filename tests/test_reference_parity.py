@@ -1,0 +1,240 @@
+"""End-to-end parity against the REAL torch reference at /root/reference.
+
+This is the capstone validation (SURVEY.md §4(b), BASELINE config 1): the
+genuine `nets/efficient_vrnet.py:13-27` EfficientVRNet is instantiated on CPU
+(via the shims in reference_shims.py), its actual `state_dict()` is fed
+through our converter, and fp32 forward outputs plus the decode+NMS
+postprocess chains are compared numerically.  A green run here retroactively
+validates the entire model stack: every layer/quirk, the torch->flax key map
+and layout transforms, and the fixed-shape decode/NMS reformulation.
+
+Numbers observed when writing the test (fp32, 512x512, random init weights):
+det head max |diff| <= 5e-8, seg logits max |diff| <= 4e-6.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reference_shims import (
+    build_reference_model,
+    cpu_cuda_noop,
+    load_reference_module,
+    reference_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="/root/reference not mounted"
+)
+
+torch = pytest.importorskip("torch")
+
+NUM_CLASSES, NUM_SEG, PHI, SIZE = 4, 9, "nano", 512
+
+
+@pytest.fixture(scope="module")
+def ref_model_and_sd():
+    return build_reference_model(NUM_CLASSES, NUM_SEG, PHI, seed=0)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(42)
+    img = rng.standard_normal((1, 3, SIZE, SIZE)).astype(np.float32)
+    rad = rng.standard_normal((1, 4, SIZE, SIZE)).astype(np.float32)
+    return img, rad
+
+
+@pytest.fixture(scope="module")
+def ref_outputs(ref_model_and_sd, inputs):
+    ref, _ = ref_model_and_sd
+    img, rad = inputs
+    with torch.no_grad():
+        det, seg = ref(torch.from_numpy(img), torch.from_numpy(rad))
+    return [d.float() for d in det], seg.float()
+
+
+@pytest.fixture(scope="module")
+def ours(ref_model_and_sd):
+    """(model, params, batch_stats) with the reference's weights loaded."""
+    from asy_vrnet_tpu.config import ModelConfig
+    from asy_vrnet_tpu.models.efficient_vrnet import create_model, init_model
+    from asy_vrnet_tpu.utils.weights import convert_torch_state_dict
+
+    _, sd = ref_model_and_sd
+    cfg = ModelConfig(phi=PHI, compute_dtype="float32",
+                      use_pallas_cluster=False, input_size=(SIZE, SIZE))
+    model = create_model(cfg)
+    # init at 64x64: the model is fully convolutional, param shapes are
+    # size-independent, and the small init compiles much faster.
+    params, bstats = init_model(model, jax.random.PRNGKey(0), input_size=(64, 64))
+    params, bstats, report = convert_torch_state_dict(sd, params, bstats,
+                                                      verbose=False)
+    return model, params, bstats, report
+
+
+@pytest.fixture(scope="module")
+def our_outputs(ours, inputs):
+    model, params, bstats, _ = ours
+    img, rad = inputs
+    fwd = jax.jit(lambda i, r: model.apply(
+        {"params": params, "batch_stats": bstats}, i, r, train=False))
+    det, seg = fwd(jnp.asarray(np.transpose(img, (0, 2, 3, 1))),
+                   jnp.asarray(np.transpose(rad, (0, 2, 3, 1))))
+    return [np.asarray(d) for d in det], np.asarray(seg)
+
+
+def test_converter_full_coverage_on_real_state_dict(ours, ref_model_and_sd):
+    """Every flax leaf is filled from the genuine key set; every reference key
+    is either consumed or a known-dead/bookkeeping entry (`ignored`)."""
+    _, sd = ref_model_and_sd
+    *_, report = ours
+    assert report["missing"] == []
+    assert report["unused"] == []
+    # the ignored set is exactly: num_batches_tracked counters, the two
+    # positional buffers, and the dead zero-size initial image_attn params
+    for k in report["ignored"]:
+        assert (
+            "num_batches_tracked" in k
+            or k.endswith(("fea_pos", "fea_pos_r"))
+            or ".image_attn." in k
+        ), k
+    assert report["loaded"] + len(report["ignored"]) == len(sd)
+
+
+def test_positional_buffer_matches_reference(ref_model_and_sd):
+    """Our on-the-fly positional embedding equals the reference's fea_pos
+    buffer (vr_coc.py:401-407), including the meshgrid('ij' on a width-first
+    range) orientation and the radar path's fea_pos reuse (:585)."""
+    from asy_vrnet_tpu.models.vr_coc import positional_grid
+
+    _, sd = ref_model_and_sd
+    # reference buffer is stack(meshgrid(range_w, range_h, 'ij'), -1), i.e.
+    # (W, H, 2); the forward permutes it to (2, W, H) and concatenates to a
+    # (B, C, H, W) tensor, so the first buffer axis lands on the torch H axis.
+    # NHWC-transposing that CHW layout gives back the raw (W, H, 2) buffer,
+    # which is therefore directly comparable to our (H, W, 2) grid.
+    ref_pos = sd["backbone.backbone.fea_pos"].numpy()
+    ours = np.asarray(positional_grid(SIZE, SIZE))
+    np.testing.assert_allclose(ours, ref_pos, atol=1e-7)
+
+
+def test_fp32_forward_parity(ref_outputs, our_outputs):
+    det_t, seg_t = ref_outputs
+    det_j, seg_j = our_outputs
+    for i in range(3):
+        theirs = det_t[i].numpy()
+        mine = np.transpose(det_j[i], (0, 3, 1, 2))
+        np.testing.assert_allclose(mine, theirs, atol=1e-4, rtol=0,
+                                   err_msg=f"det level {i}")
+        assert np.max(np.abs(mine - theirs)) < 1e-5
+    seg_mine = np.transpose(seg_j, (0, 3, 1, 2))
+    np.testing.assert_allclose(seg_mine, seg_t.numpy(), atol=1e-4, rtol=0)
+
+
+def test_decode_parity(ref_outputs, our_outputs):
+    """Our decode_predictions == reference decode_outputs (utils_bbox.py:32-84)
+    on each side's own head outputs."""
+    from asy_vrnet_tpu.ops.boxes import decode_predictions
+
+    bbox_utils = load_reference_module("utils.utils_bbox")
+    det_t, _ = ref_outputs
+    det_j, _ = our_outputs
+
+    with cpu_cuda_noop():
+        ref_dec = bbox_utils.decode_outputs(
+            [d.clone() for d in det_t], (SIZE, SIZE), 0
+        ).numpy()[0]
+    our_dec = np.asarray(decode_predictions(
+        [jnp.asarray(d) for d in det_j], (SIZE, SIZE)))[0]
+    assert our_dec.shape == ref_dec.shape  # (5376, 5+C)
+    np.testing.assert_allclose(our_dec, ref_dec, atol=1e-5, rtol=0)
+
+
+def test_nms_parity(ref_outputs, our_outputs):
+    """Full postprocess chain: decode -> conf filter -> class-aware NMS.
+
+    Reference: utils/utils_bbox.py:86-131 (torchvision batched_nms semantics,
+    shimmed in pure torch).  Ours: fixed-shape ops/nms.py.  The kept
+    detections must agree in order, class, score and box coordinates."""
+    from asy_vrnet_tpu.ops.boxes import correct_boxes, decode_predictions
+    from asy_vrnet_tpu.ops.nms import non_max_suppression
+
+    bbox_utils = load_reference_module("utils.utils_bbox")
+    det_t, _ = ref_outputs
+    det_j, _ = our_outputs
+    nms_thres = 0.5
+
+    # With random weights boxes are ~stride-sized and disjoint, so NMS would
+    # suppress nothing; inflate the wh logits identically on both sides to
+    # force genuine overlap/suppression, and pick the conf threshold so ~200
+    # candidates survive the first filter.
+    det_t = [d.clone() for d in det_t]
+    for d in det_t:
+        d[:, 2:4] += 1.5
+    det_j = [np.concatenate(
+        [d[..., :2], d[..., 2:4] + 1.5, d[..., 4:]], axis=-1) for d in det_j]
+
+    with cpu_cuda_noop():
+        ref_dec = bbox_utils.decode_outputs(det_t, (SIZE, SIZE), 0)
+        flat = ref_dec[0].numpy()
+        scores_all = flat[:, 4] * flat[:, 5:].max(axis=1)
+        conf_thres = float(np.sort(scores_all)[-200])
+        ref_out = bbox_utils.non_max_suppression(
+            ref_dec, NUM_CLASSES, (SIZE, SIZE), (SIZE, SIZE),
+            letterbox_image=False, conf_thres=conf_thres, nms_thres=nms_thres,
+        )[0]
+    assert ref_out is not None and 0 < len(ref_out) < 200  # NMS really fired
+    # (N, 7): y1 x1 y2 x2 (pixel coords after yolo_correct_boxes) obj cls_conf cls
+    ref_out = np.asarray(ref_out)
+
+    our_dec = decode_predictions([jnp.asarray(d) for d in det_j], (SIZE, SIZE))
+    res = non_max_suppression(
+        our_dec, NUM_CLASSES, conf_thres=conf_thres, nms_thres=nms_thres,
+        max_out=256, num_candidates=our_dec.shape[1],
+    )
+    n_kept = int(np.asarray(res["valid"][0]).sum())
+    assert n_kept == len(ref_out)
+    mine_boxes = np.asarray(res["boxes_xyxy"][0][:n_kept])
+    mine_scores = np.asarray(res["scores"][0][:n_kept])
+    mine_classes = np.asarray(res["classes"][0][:n_kept])
+    np.testing.assert_array_equal(mine_classes, ref_out[:, 6].astype(np.int64))
+    np.testing.assert_allclose(
+        mine_scores, ref_out[:, 4] * ref_out[:, 5], atol=1e-5, rtol=0)
+    # near-tied fp32 scores can swap order between the two frameworks'
+    # descending sorts; compare boxes under a canonical row ordering
+    # (class, then y1) rather than score rank.
+    mine_corr = correct_boxes(mine_boxes, (SIZE, SIZE), (SIZE, SIZE),
+                              letterbox=False)
+    mine_rows = np.concatenate(
+        [mine_corr, mine_classes[:, None].astype(np.float32)], axis=-1)
+    ref_rows = np.concatenate(
+        [ref_out[:, :4], ref_out[:, 6:7]], axis=-1).astype(np.float32)
+
+    def canon(rows):
+        order = np.lexsort((rows[:, 1], rows[:, 0], rows[:, 4]))
+        return rows[order]
+
+    np.testing.assert_allclose(canon(mine_rows), canon(ref_rows),
+                               atol=1e-3, rtol=0)
+
+
+def test_correct_boxes_parity(ref_outputs):
+    """Letterbox-unmapping parity (utils_bbox.py:5-30) on real decoded boxes."""
+    from asy_vrnet_tpu.ops.boxes import correct_boxes
+
+    bbox_utils = load_reference_module("utils.utils_bbox")
+    rng = np.random.default_rng(7)
+    # normalised cxcywh boxes as the reference's NMS output feeds them
+    box_xy = rng.uniform(0.2, 0.8, (50, 2)).astype(np.float32)
+    box_wh = rng.uniform(0.05, 0.3, (50, 2)).astype(np.float32)
+    image_hw = (1080, 1920)
+
+    # build ours' input first: yolo_correct_boxes mutates box_wh in place
+    # (box_hw *= scale writes through the [..., ::-1] view)
+    xyxy = np.concatenate([box_xy - box_wh / 2, box_xy + box_wh / 2], axis=-1)
+    ref_boxes = bbox_utils.yolo_correct_boxes(
+        box_xy, box_wh, (SIZE, SIZE), image_hw, True)
+    mine = correct_boxes(xyxy, (SIZE, SIZE), image_hw, letterbox=True)
+    np.testing.assert_allclose(mine, ref_boxes, atol=1e-3, rtol=0)

@@ -42,7 +42,8 @@ from asy_vrnet_tpu.utils.weights import convert_torch_state_dict, torch_key_for
     (("head", "stem1", "bn", "bias"), "head.stems.1.bn.bias"),
     (("head", "cls_conv0_1", "dconv", "kernel"),
      "head.cls_convs.0.1.conv.dconv.weight"),
-    (("head", "cls_conv0_1", "pconv", "bias"), "head.cls_convs.0.1.conv.pconv.bias"),
+    (("head", "cls_conv0_1", "pconv", "kernel"),
+     "head.cls_convs.0.1.conv.pconv.weight"),
     (("head", "obj_pred2", "kernel"), "head.obj_preds.2.weight"),
 ])
 def test_torch_key_mapping(path, expected):
