@@ -59,27 +59,111 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_config(args):
+    """argparse namespace -> (Config, class_names).
+
+    With --config, the JSON file is the base and only flags the user
+    explicitly passed (value != argparse default) override it; without,
+    flags populate a default Config directly.
+    """
+    from asy_vrnet_tpu.config import (
+        Config, DataConfig, LossConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from asy_vrnet_tpu.data.preprocess import get_classes
+
+    hw = args.input_size
+    if args.config:
+        # JSON config is the base; flags the user explicitly passed (i.e.
+        # whose value differs from the argparse default) override it.
+        with open(args.config) as f:
+            cfg = Config.from_dict(json.load(f))
+        parser = build_argparser()
+        explicit = {
+            k for k, v in vars(args).items() if v != parser.get_default(k)
+        }
+
+        def over(section, **pairs):
+            updates = {field: value for flag, (field, value) in pairs.items()
+                       if flag in explicit}
+            return dataclasses.replace(section, **updates) if updates else section
+
+        class_names, num_classes = get_classes(
+            args.classes if "classes" in explicit else cfg.data.classes_path
+        )
+        model_over = over(
+            cfg.model,
+            phi=("phi", args.phi),
+            input_size=("input_size", (hw, hw)),
+            compute_dtype=("compute_dtype", args.compute_dtype),
+            num_seg_classes=("num_seg_classes", args.num_seg_classes),
+            classes=("num_classes", num_classes),
+        )
+        cfg = Config(
+            model=model_over,
+            loss=over(cfg.loss, multitask=("multitask_mode", args.multitask),
+                      max_boxes=("max_boxes", args.max_boxes)),
+            optim=over(cfg.optim, optimizer=("optimizer", args.optimizer),
+                       init_lr=("init_lr", args.init_lr),
+                       no_ema=("ema", not args.no_ema)),
+            train=over(cfg.train, epochs=("epochs", args.epochs),
+                       init_epoch=("init_epoch", args.init_epoch),
+                       freeze_epoch=("freeze_epoch", args.freeze_epoch),
+                       batch_size=("batch_size", args.batch_size),
+                       save_period=("save_period", args.save_period),
+                       eval_period=("eval_period", args.eval_period),
+                       save_dir=("save_dir", args.save_dir)),
+            data=over(cfg.data,
+                      train_annotation=("train_annotation_path", args.train_annotation),
+                      val_annotation=("val_annotation_path", args.val_annotation),
+                      classes=("classes_path", args.classes),
+                      radar_root=("radar_root", args.radar_root),
+                      seg_path=("seg_dataset_path", args.seg_path),
+                      input_size=("input_shape", (hw, hw))),
+        )
+    else:
+        class_names, num_classes = get_classes(args.classes)
+        cfg = Config(
+            model=ModelConfig(
+                num_classes=num_classes, num_seg_classes=args.num_seg_classes,
+                phi=args.phi, input_size=(hw, hw), compute_dtype=args.compute_dtype,
+            ),
+            loss=LossConfig(multitask_mode=args.multitask, max_boxes=args.max_boxes),
+            optim=OptimConfig(
+                optimizer=args.optimizer, init_lr=args.init_lr, ema=not args.no_ema
+            ),
+            train=TrainConfig(
+                epochs=args.epochs, init_epoch=args.init_epoch,
+                freeze_epoch=args.freeze_epoch, batch_size=args.batch_size,
+                save_period=args.save_period, eval_period=args.eval_period,
+                save_dir=args.save_dir,
+            ),
+            data=DataConfig(
+                train_annotation_path=args.train_annotation,
+                val_annotation_path=args.val_annotation,
+                classes_path=args.classes, radar_root=args.radar_root,
+                seg_dataset_path=args.seg_path, input_shape=(hw, hw),
+            ),
+        )
+    return cfg, class_names
+
+
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
 
     import jax
 
-    from asy_vrnet_tpu.config import (
-        Config, DataConfig, LossConfig, ModelConfig, OptimConfig, TrainConfig,
-        show_config,
-    )
+    from asy_vrnet_tpu.config import show_config
     from asy_vrnet_tpu.data.dataset import DataLoader, WaterScenesDataset, read_annotation_file
-    from asy_vrnet_tpu.data.preprocess import get_classes
     from asy_vrnet_tpu.models.efficient_vrnet import create_model, init_model
     from asy_vrnet_tpu.parallel.mesh import make_mesh
     from asy_vrnet_tpu.train.checkpoint import load_weights, partial_load, restore_checkpoint
     from asy_vrnet_tpu.train.loop import fit
     from asy_vrnet_tpu.train.state import create_train_state
 
-    hw = args.input_size
     if args.synthetic:
         from asy_vrnet_tpu.data.synthetic import write_synthetic_voc_dataset
 
+        hw = args.input_size
         root = tempfile.mkdtemp(prefix="asyvrnet_synth_")
         meta = write_synthetic_voc_dataset(
             root, num_images=args.synthetic, hw=(hw, hw)
@@ -90,37 +174,9 @@ def main(argv=None) -> None:
         args.classes = meta["classes_path"]
         args.radar_root = meta["radar_root"]
         args.seg_path = meta["seg_dataset_path"]
-        seg_subdir = os.path.join("VOC2007", "SegmentationClass")
-    else:
-        seg_subdir = os.path.join("VOC2007", "SegmentationClass")
+    seg_subdir = os.path.join("VOC2007", "SegmentationClass")
 
-    class_names, num_classes = get_classes(args.classes)
-
-    cfg = Config(
-        model=ModelConfig(
-            num_classes=num_classes, num_seg_classes=args.num_seg_classes,
-            phi=args.phi, input_size=(hw, hw), compute_dtype=args.compute_dtype,
-        ),
-        loss=LossConfig(multitask_mode=args.multitask, max_boxes=args.max_boxes),
-        optim=OptimConfig(
-            optimizer=args.optimizer, init_lr=args.init_lr, ema=not args.no_ema
-        ),
-        train=TrainConfig(
-            epochs=args.epochs, init_epoch=args.init_epoch,
-            freeze_epoch=args.freeze_epoch, batch_size=args.batch_size,
-            save_period=args.save_period, eval_period=args.eval_period,
-            save_dir=args.save_dir,
-        ),
-        data=DataConfig(
-            train_annotation_path=args.train_annotation,
-            val_annotation_path=args.val_annotation,
-            classes_path=args.classes, radar_root=args.radar_root,
-            seg_dataset_path=args.seg_path, input_shape=(hw, hw),
-        ),
-    )
-    if args.config:
-        with open(args.config) as f:
-            cfg = Config.from_dict(json.load(f))
+    cfg, class_names = resolve_config(args)
     print(show_config(cfg))
 
     model = create_model(cfg.model)

@@ -224,11 +224,15 @@ class DataLoader:
         sentinel = object()
 
         def worker():
+            # A failing sample (missing radar npz, corrupt PNG, ...) must
+            # fail the epoch loudly, not truncate it: enqueue the exception
+            # and re-raise it in the consuming thread.
             try:
                 for idxs in batches:
                     q.put(_stack([self.dataset[i] for i in idxs]))
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -236,6 +240,9 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
 

@@ -68,7 +68,7 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         lib.nio_pool_load_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_char_p,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
         return _lib
@@ -130,6 +130,7 @@ class NativeBatchLoader:
             self._pool, arr, self.member, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self._stride,
+            self._stride,  # expected elements == stride: reject short arrays
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         if failures:

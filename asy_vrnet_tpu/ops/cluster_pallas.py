@@ -321,7 +321,13 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
     )
     xn = x * inv_full
 
-    raw = jax.lax.dot_general(cn, xn, (((1,), (1,)), ((), ())),
+    # Rematerialise sim with the SAME operand casts as the forward kernel
+    # (bf16 MXU operands when the model runs bf16): near-tie tokens must not
+    # flip their argmax proposal between forward and backward, or gradients
+    # would flow through a different assignment than the actual output used.
+    mxu = blk.dtype
+    raw = jax.lax.dot_general(cn.astype(mxu), xn.astype(mxu),
+                              (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)       # (Hb, Nt)
     s = jax.nn.sigmoid(beta + alpha * raw)
 

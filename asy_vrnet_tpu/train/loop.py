@@ -57,9 +57,19 @@ def fit(
         )
         seg_cb = SegEvalCallback(model, cfg, val_loader, save_dir, period=tcfg.eval_period)
 
-    schedule = make_lr_schedule(cfg.optim, tcfg.batch_size, tcfg.epochs)
-
     freeze = tcfg.freeze_epoch > tcfg.init_epoch
+    # The reference trains the frozen phase at a larger batch (train.py:90,
+    # 568-606 rebuilds loaders and re-derives the adaptive LR at the
+    # transition); mirror that with a per-phase loader + schedule.
+    schedule = make_lr_schedule(cfg.optim, tcfg.batch_size, tcfg.epochs)
+    schedule_frozen = make_lr_schedule(cfg.optim, tcfg.freeze_batch_size, tcfg.epochs)
+    frozen_loader = None
+    if freeze and tcfg.freeze_batch_size != train_loader.batch_size:
+        frozen_loader = DataLoader(
+            train_loader.dataset, tcfg.freeze_batch_size,
+            shuffle=train_loader.shuffle, prefetch=train_loader.prefetch,
+            drop_last=train_loader.drop_last,
+        )
     step_frozen = build_train_step(model, cfg, tx, freeze_backbone=True)
     step_unfrozen = build_train_step(model, cfg, tx, freeze_backbone=False)
     ev_step = build_eval_step(model, cfg)
@@ -77,12 +87,13 @@ def fit(
     for epoch in range(tcfg.init_epoch, tcfg.epochs):
         frozen = freeze and epoch < tcfg.freeze_epoch
         step_fn = step_frozen if frozen else step_unfrozen
-        lr = schedule(epoch)
+        loader = frozen_loader if (frozen and frozen_loader is not None) else train_loader
+        lr = (schedule_frozen if frozen else schedule)(epoch)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
         t0 = time.time()
         train_metrics = []
-        for batch in train_loader:
+        for batch in loader:
             db = _device_batch(batch)
             if mesh is not None:
                 db = shard_batch(db, mesh)

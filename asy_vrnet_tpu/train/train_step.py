@@ -86,6 +86,28 @@ def _zero_frozen(tree, freeze_backbone: bool):
     return tree
 
 
+def _restore_frozen_opt(new_opt_state, old_opt_state, freeze_backbone: bool):
+    """Keep the optimizer state of frozen params untouched.
+
+    Even with grads zeroed, add_decayed_weights inside the optax chain feeds
+    wd*param into the momentum trace; without this, unfreezing would start
+    with a stale decay-driven momentum kick the reference's freeze (which
+    accumulates nothing, train.py:439-446) never has.  Opt-state inner trees
+    mirror the param tree, so any leaf whose keypath passes through
+    neck/backbone belongs to the frozen subtree."""
+    if not freeze_backbone:
+        return new_opt_state
+
+    def pick(path, new, old):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        for i in range(len(keys) - 1):
+            if keys[i] == "neck" and keys[i + 1] == "backbone":
+                return old
+        return new
+
+    return jax.tree_util.tree_map_with_path(pick, new_opt_state, old_opt_state)
+
+
 def build_train_step(
     model, cfg: Config, tx: optax.GradientTransformation,
     freeze_backbone: bool = False,
@@ -120,6 +142,9 @@ def build_train_step(
         grads = _zero_frozen(grads, freeze_backbone)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         updates = _zero_frozen(updates, freeze_backbone)
+        new_opt_state = _restore_frozen_opt(
+            new_opt_state, state.opt_state, freeze_backbone
+        )
         new_params = optax.apply_updates(state.params, updates)
         if cfg.loss.multitask_mode == "uncertainty":
             # plain SGD on the scalar log-var at the current injected lr

@@ -218,11 +218,14 @@ int load_npz_f32_impl(const char* path, const char* member, float* out,
   uint64_t off;
   if (!entry_data_offset(buf, *chosen, &off)) return -4;
   const uint8_t* payload = buf.data.data() + off;
+  // Truncated/corrupt archives must fail, not over-read the file buffer.
   if (chosen->method == 0) {
+    if (off + chosen->uncomp_size > buf.data.size()) return -4;
     if (!parse_npy_f32(payload, chosen->uncomp_size, out, capacity, shape,
                        ndim, max_dims))
       return -5;
   } else if (chosen->method == 8) {
+    if (off + chosen->comp_size > buf.data.size()) return -4;
     std::vector<uint8_t> raw(chosen->uncomp_size);
     if (!inflate_raw(payload, chosen->comp_size, raw.data(), raw.size()))
       return -6;
@@ -296,9 +299,12 @@ void nio_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 
 // Load `count` npz files in parallel into out[i * stride .. ]; returns the
 // number of failures (0 == success); per-file status in status[count].
+// `expected` > 0 requires each parsed array to have exactly that many
+// elements (the batch stride) — a smaller array would otherwise leave
+// uninitialised tail garbage in the batch buffer while reporting success.
 int nio_pool_load_batch(void* pool, const char** paths, const char* member,
                         int count, float* out, int64_t stride,
-                        int32_t* status) {
+                        int64_t expected, int32_t* status) {
   Pool* p = static_cast<Pool*>(pool);
   std::atomic<int> remaining(count), failures(0);
   std::mutex done_mu;
@@ -306,9 +312,14 @@ int nio_pool_load_batch(void* pool, const char** paths, const char* member,
   for (int i = 0; i < count; ++i) {
     p->submit([&, i] {
       int64_t shape[8];
-      int32_t nd;
+      int32_t nd = 0;
       int rc = load_npz_f32_impl(paths[i], member, out + i * stride, stride,
                                  shape, &nd, 8);
+      if (rc == 0 && expected > 0) {
+        int64_t total = 1;
+        for (int32_t k = 0; k < nd; ++k) total *= shape[k];
+        if (total != expected) rc = -8;
+      }
       status[i] = rc;
       if (rc != 0) failures.fetch_add(1);
       if (remaining.fetch_sub(1) == 1) {

@@ -66,6 +66,32 @@ def test_loader_batches_and_prefetch(synth):
     assert len(batches[0]["image_id"]) == 2
 
 
+def test_loader_propagates_worker_exceptions(synth):
+    """A bad sample must fail the epoch loudly, not silently truncate it
+    (round-1 ADVICE: the prefetch worker used to swallow exceptions and
+    enqueue the end sentinel)."""
+    import pytest
+
+    lines = read_annotation_file(synth["annotation_path"])
+    ds = WaterScenesDataset(
+        lines, (128, 96), 4, 9, synth["radar_root"], synth["seg_dataset_path"],
+        max_boxes=16,
+    )
+
+    class Broken:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise FileNotFoundError("missing radar npz for sample 2")
+            return ds[i]
+
+    loader = DataLoader(Broken(), batch_size=1, shuffle=False, prefetch=2)
+    with pytest.raises(FileNotFoundError, match="sample 2"):
+        list(loader)
+
+
 def test_letterbox_boxes_transform():
     boxes = np.array([[0, 0, 100, 50, 2]], np.float32)
     out = letterbox_boxes(boxes, (100, 50), (200, 200))

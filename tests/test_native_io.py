@@ -66,3 +66,33 @@ def test_batch_loader_parallel(lib_ok, tmp_path):
     with pytest.raises(RuntimeError, match="nope"):
         loader.load([paths[0], str(tmp_path / "nope.npz")])
     loader.close()
+
+
+def test_truncated_npz_fails_cleanly(lib_ok, tmp_path):
+    """A stored entry whose payload runs past the file must error, not
+    over-read the buffer (round-1 ADVICE, native/nativeio.cpp)."""
+    arr = np.arange(4 * 8 * 8, dtype=np.float32).reshape(4, 8, 8)
+    path = tmp_path / "t.npz"
+    np.savez(str(path), arr)
+    data = path.read_bytes()
+    # keep the central directory intact but cut the payload: splice out a
+    # chunk from the middle of the file body
+    cut = len(data) // 2
+    truncated = tmp_path / "trunc.npz"
+    truncated.write_bytes(data[: cut - 512] + data[cut:])
+    with pytest.raises(RuntimeError):
+        native_io.load_npz(str(truncated))
+
+
+def test_batch_loader_rejects_wrong_shape(lib_ok, tmp_path):
+    """An array smaller than the batch stride must be reported as a failure,
+    not silently leave uninitialised tail garbage (round-1 ADVICE)."""
+    good = np.ones((4, 8, 8), np.float32)
+    small = np.ones((2, 8, 8), np.float32)
+    p_good, p_small = str(tmp_path / "g.npz"), str(tmp_path / "s.npz")
+    np.savez(p_good, good)
+    np.savez(p_small, small)
+    loader = native_io.NativeBatchLoader((4, 8, 8), threads=2)
+    with pytest.raises(RuntimeError, match="s.npz"):
+        loader.load([p_good, p_small])
+    loader.close()

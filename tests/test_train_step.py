@@ -91,6 +91,41 @@ def test_freeze_backbone_blocks_updates(setup):
     assert max(hb) > 0.0
 
 
+def test_freeze_backbone_keeps_optimizer_state_clean(setup):
+    """Frozen params must accumulate NOTHING in the optimizer state — the
+    optax chain's add_decayed_weights would otherwise feed wd*param into the
+    momentum trace even with zeroed grads, giving unfreeze a stale kick the
+    reference freeze never has (round-1 ADVICE)."""
+    cfg, model, state, tx = setup
+    step = jax.jit(build_train_step(model, cfg, tx, freeze_backbone=True))
+    batch = jax.tree.map(jnp.asarray, make_batch(np.random.default_rng(3), 2, (64, 64)))
+    state = state.replace(opt_state=set_learning_rate(state.opt_state, 1e-2))
+    s1, _ = step(state, batch)
+
+    def frozen_leaves(opt_state):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+            keys = [p.key for p in path if hasattr(p, "key")]
+            if any(keys[i] == "neck" and keys[i + 1] == "backbone"
+                   for i in range(len(keys) - 1)):
+                out[tuple(str(p) for p in path)] = np.asarray(leaf)
+        return out
+
+    before = frozen_leaves(state.opt_state)
+    after = frozen_leaves(s1.opt_state)
+    assert before, "expected frozen-subtree leaves inside the opt state"
+    for k in before:
+        np.testing.assert_array_equal(before[k], after[k], err_msg=str(k))
+    # unfrozen (head) momentum must still move
+    moved = False
+    for path, leaf in jax.tree_util.tree_flatten_with_path(s1.opt_state)[0]:
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if "head" in keys and np.any(np.asarray(leaf) != 0):
+            moved = True
+            break
+    assert moved
+
+
 def test_uncertainty_multitask_updates_log_var():
     cfg = _cfg("uncertainty")
     model = create_model(cfg.model)
