@@ -31,6 +31,8 @@ def main(argv=None) -> None:
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--write-txt", default="", metavar="DIR",
                    help="also write reference-format gt/dr txt dirs")
+    p.add_argument("--plot", default="", metavar="DIR",
+                   help="write the mAP/LAMR/per-class AP-F1-PR plot artifacts")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -90,6 +92,11 @@ def main(argv=None) -> None:
     print(f"mAP  (VOC all-point): {voc['map']:.4f}")
     for name in class_names:
         print(f"  {name}: coco={coco['ap_per_class'][name]:.4f} voc={voc['ap_per_class'][name]:.4f}")
+    if args.plot:
+        from asy_vrnet_tpu.metrics.plots import plot_detection_report
+
+        written = plot_detection_report(args.plot, voc, method_label="AP")
+        print(f"wrote {len(written)} plot artifacts to {args.plot}")
 
 
 if __name__ == "__main__":

@@ -11,9 +11,12 @@ import os
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", default="predict", choices=["predict", "fps", "dir_predict"])
+    p.add_argument("--mode", default="predict",
+                   choices=["predict", "fps", "dir_predict", "video"])
     p.add_argument("--image")
     p.add_argument("--radar")
+    p.add_argument("--video", help="input video path (video mode)")
+    p.add_argument("--video-out", default="", help="output video path (video mode)")
     p.add_argument("--weights", required=True)
     p.add_argument("--phi", default="nano")
     p.add_argument("--input-size", type=int, default=512)
@@ -67,6 +70,49 @@ def main(argv=None) -> None:
             image, radar = load_pair(os.path.join(args.image, name), radar_path)
             seg.detect_image(image, radar).save(os.path.join(args.out, name))
         print(f"saved to {args.out}")
+    elif args.mode == "video":
+        # reference predict_seg.py video mode (predict_seg.py:21,99-144);
+        # radar: a single static .npz or a directory of per-frame
+        # <frame_idx>.npz files
+        import cv2
+        from PIL import Image
+
+        cap = cv2.VideoCapture(args.video)
+        if not cap.isOpened():
+            raise SystemExit(f"error: cannot open video {args.video}")
+        writer = None
+        if args.video_out:
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+            size = (
+                int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            )
+            writer = cv2.VideoWriter(args.video_out, fourcc, fps, size)
+        static_radar = None
+        if args.radar and os.path.isfile(args.radar):
+            static_radar = np.load(args.radar)["arr_0"]
+        frame_idx = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            image = Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if static_radar is not None:
+                radar = static_radar
+            else:
+                rp = os.path.join(args.radar, f"{frame_idx}.npz")
+                radar = np.load(rp)["arr_0"]
+            blended = seg.detect_image(image, radar)
+            out_frame = cv2.cvtColor(np.asarray(blended), cv2.COLOR_RGB2BGR)
+            if writer is not None:
+                writer.write(out_frame)
+            frame_idx += 1
+        cap.release()
+        if writer is not None:
+            writer.release()
+        print(f"processed {frame_idx} frames"
+              + (f" -> {args.video_out}" if args.video_out else ""))
 
 
 if __name__ == "__main__":

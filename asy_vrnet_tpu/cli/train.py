@@ -41,6 +41,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--resume", help="orbax checkpoint path to resume from")
     p.add_argument("--weights", help=".npz weights for partial (shape-matched) init")
+    p.add_argument("--weights-init", default="none",
+                   choices=["none", "normal", "xavier", "kaiming", "orthogonal"],
+                   help="reference-style conv/BN re-init for from-scratch runs "
+                        "(nets/yolo_training.py:482-501)")
+    p.add_argument("--init-gain", type=float, default=0.02)
     p.add_argument("--train-annotation", default="2007_train.txt")
     p.add_argument("--val-annotation", default="2007_val.txt")
     p.add_argument("--classes", default="model_data/waterscenes.txt")
@@ -181,6 +186,12 @@ def main(argv=None) -> None:
 
     model = create_model(cfg.model)
     params, bstats = init_model(model, jax.random.PRNGKey(cfg.train.seed))
+    if args.weights_init != "none":
+        from asy_vrnet_tpu.utils.init import reinit_params
+
+        print(f"initialize network with {args.weights_init} type")
+        params = reinit_params(params, cfg.train.seed, args.weights_init,
+                               args.init_gain)
     if args.weights:
         src = load_weights(args.weights)
         params, _, _ = partial_load(params, src.get("params"))

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import glob
 import os
-from collections import defaultdict
 from typing import Optional, Sequence
 
 import numpy as np
@@ -79,8 +78,13 @@ def _iou_matrix(det: np.ndarray, gt: np.ndarray) -> np.ndarray:
 class DetectionEvaluator:
     """Accumulates per-image detections and GT; computes AP per class.
 
-    Greedy matching in score order; each GT matched at most once;
-    IoU threshold configurable (0.5 for the headline metric).
+    Matching happens at evaluate() time with method-faithful semantics:
+      - 'voc' : the classic VOC protocol (utils_map.py get_map): each
+        detection takes the global argmax-IoU GT and is a FP if that GT is
+        already matched — even when another unmatched GT also overlaps.
+      - 'coco': the pycocotools COCOeval protocol: each detection matches the
+        *unmatched* GT with the highest IoU >= threshold.
+    Each GT is matched at most once under both.
     """
 
     def __init__(self, class_names: Sequence[str], iou_threshold: float = 0.5,
@@ -88,10 +92,8 @@ class DetectionEvaluator:
         self.class_names = list(class_names)
         self.iou_threshold = iou_threshold
         self.max_dets = max_dets
-        # per class: list of (score, is_tp) across all images; gt counter
-        self._scores = defaultdict(list)
-        self._tps = defaultdict(list)
-        self._num_gt = defaultdict(int)
+        # raw per-image records; matching is deferred to evaluate()
+        self._images: list[tuple] = []
 
     def add_image(
         self,
@@ -115,12 +117,24 @@ class DetectionEvaluator:
             det_boxes, det_scores, det_classes = (
                 det_boxes[keep], det_scores[keep], det_classes[keep]
             )
+        self._images.append(
+            (det_boxes, det_scores, det_classes, gt_boxes, gt_classes,
+             np.asarray(gt_difficult, bool))
+        )
 
-        for c in range(len(self.class_names)):
+    @property
+    def _num_images(self) -> int:
+        return len(self._images)
+
+    def _match_class(self, c: int, method: str):
+        """-> (scores, tps, num_gt) for class c across all images."""
+        all_scores, all_tps, num_gt = [], [], 0
+        for det_boxes, det_scores, det_classes, gt_boxes, gt_classes, gt_diff \
+                in self._images:
             gsel = gt_classes == c
             gboxes = gt_boxes[gsel]
-            gdiff = gt_difficult[gsel]
-            self._num_gt[c] += int((~gdiff).sum())
+            gdiff = gt_diff[gsel]
+            num_gt += int((~gdiff).sum())
 
             dsel = det_classes == c
             dboxes = det_boxes[dsel]
@@ -132,30 +146,58 @@ class DetectionEvaluator:
             matched = np.zeros(len(gboxes), bool)
             for d in range(len(dboxes)):
                 tp = False
+                skip = False
                 if len(gboxes):
-                    best = int(np.argmax(iou[d]))
-                    if iou[d, best] >= self.iou_threshold and not matched[best]:
-                        if gdiff[best]:
-                            continue  # difficult GT: detection ignored
-                        matched[best] = True
-                        tp = True
-                self._scores[c].append(dscores[d])
-                self._tps[c].append(tp)
+                    if method == "coco":
+                        # pycocotools: best IoU among UNMATCHED gts, >= thr
+                        cand = np.where(~matched)[0]
+                        if len(cand):
+                            best = cand[int(np.argmax(iou[d, cand]))]
+                            if iou[d, best] >= self.iou_threshold:
+                                if gdiff[best]:
+                                    skip = True  # ignored GT absorbs the det
+                                else:
+                                    matched[best] = True
+                                    tp = True
+                    else:
+                        # VOC: global argmax; FP if that GT is taken
+                        best = int(np.argmax(iou[d]))
+                        if iou[d, best] >= self.iou_threshold:
+                            if gdiff[best]:
+                                skip = True
+                            elif not matched[best]:
+                                matched[best] = True
+                                tp = True
+                if skip:
+                    continue
+                all_scores.append(dscores[d])
+                all_tps.append(tp)
+        return np.asarray(all_scores), np.asarray(all_tps, bool), num_gt
 
     def evaluate(self, method: str = "coco") -> dict:
-        """Per-class AP + mean; method 'coco' (101-pt) or 'voc' (all-point)."""
+        """Per-class AP + mean; method 'coco' (101-pt) or 'voc' (all-point).
+
+        Also returns `curves`: per class, the score-sorted PR arrays plus F1
+        and LAMR — the data behind the reference's per-class plot artifacts
+        (utils_map.py:30-290), consumable by metrics/plots.py."""
         aps = {}
+        curves = {}
+        empty = dict(
+            scores=np.zeros(0), recall=np.zeros(0), precision=np.zeros(0),
+            f1=np.zeros(0), lamr=0.0, num_gt=0, num_det=0,
+        )
         for c, name in enumerate(self.class_names):
-            scores = np.asarray(self._scores[c])
-            tps = np.asarray(self._tps[c], bool)
-            n_gt = self._num_gt[c]
+            scores, tps, n_gt = self._match_class(c, method)
             if n_gt == 0:
                 aps[name] = float("nan")
+                curves[name] = dict(empty, num_det=len(scores))
                 continue
             if len(scores) == 0:
                 aps[name] = 0.0
+                curves[name] = dict(empty, num_gt=n_gt)
                 continue
             order = np.argsort(-scores, kind="stable")
+            scores = scores[order]
             tps = tps[order]
             tp_cum = np.cumsum(tps)
             fp_cum = np.cumsum(~tps)
@@ -165,10 +207,20 @@ class DetectionEvaluator:
                 aps[name] = voc_ap(rec, prec)
             else:
                 aps[name] = coco_ap_from_pr(rec, prec)
+            lamr, _, _ = log_average_miss_rate(
+                prec, fp_cum.astype(np.float64), max(self._num_images, 1)
+            )
+            curves[name] = dict(
+                scores=scores, recall=rec, precision=prec,
+                f1=2 * rec * prec / np.maximum(rec + prec, 1e-12),
+                lamr=lamr, num_gt=n_gt, num_det=len(scores),
+            )
         valid = [v for v in aps.values() if not np.isnan(v)]
         return {
             "ap_per_class": aps,
             "map": float(np.mean(valid)) if valid else 0.0,
+            "curves": curves,
+            "num_images": self._num_images,
         }
 
 

@@ -127,9 +127,14 @@ def save_results(
     precision: np.ndarray,
     name_classes: Sequence[str],
 ) -> None:
-    """CSV outputs equivalent to show_results (utils_seg/utils_metrics.py:169-193),
-    minus the matplotlib plots."""
+    """CSV + PNG outputs equivalent to show_results
+    (utils_seg/utils_metrics.py:169-193): confusion matrix / metrics CSVs plus
+    mIoU/mPA/Recall/Precision bar plots (PNGs skipped without matplotlib)."""
+    from asy_vrnet_tpu.metrics.plots import plot_miou_results
+
     os.makedirs(out_dir, exist_ok=True)
+    plot_miou_results(out_dir, np.asarray(ious), np.asarray(pa_recall),
+                      np.asarray(precision), name_classes)
     with open(os.path.join(out_dir, "confusion_matrix.csv"), "w", newline="") as f:
         writer = csv.writer(f)
         writer.writerow([" "] + list(name_classes))

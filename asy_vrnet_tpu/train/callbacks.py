@@ -17,12 +17,14 @@ import numpy as np
 
 from asy_vrnet_tpu.metrics.map import DetectionEvaluator
 from asy_vrnet_tpu.metrics.miou import MIoUAccumulator
+from asy_vrnet_tpu.metrics.plots import plot_loss_curves, plot_metric_curve
 from asy_vrnet_tpu.ops.boxes import decode_predictions
 from asy_vrnet_tpu.ops.nms import non_max_suppression
 
 
 class LossHistory:
-    """txt logs + optional TensorBoard scalars (utils/callbacks.py:21-80)."""
+    """txt logs + loss-curve PNG + optional TensorBoard scalars
+    (utils/callbacks.py:21-80)."""
 
     def __init__(self, log_dir: str, tag: str = "loss"):
         self.log_dir = log_dir
@@ -48,6 +50,10 @@ class LossHistory:
         if self.writer is not None:
             self.writer.add_scalar(f"{self.tag}/train", loss, epoch)
             self.writer.add_scalar(f"{self.tag}/val", val_loss, epoch)
+        plot_loss_curves(
+            os.path.join(self.log_dir, f"epoch_{self.tag}.png"),
+            self.losses, self.val_loss,
+        )
 
     def close(self) -> None:
         if self.writer is not None:
@@ -123,6 +129,10 @@ class DetEvalCallback:
         self.epochs.append(epoch)
         with open(os.path.join(self.log_dir, "epoch_map.txt"), "a") as f:
             f.write(f"{res['map']}\n")
+        plot_metric_curve(
+            os.path.join(self.log_dir, "epoch_map.png"),
+            self.epochs, self.maps, "mAP50", "A Map Curve",
+        )
         return res["map"]
 
 
@@ -136,6 +146,7 @@ class SegEvalCallback:
         self.log_dir = log_dir
         self.period = max(1, period)
         self.mious: list[float] = [0.0]
+        self.epochs: list[int] = [0]
         os.makedirs(log_dir, exist_ok=True)
 
         def seg_fn(variables, image, radar):
@@ -155,6 +166,11 @@ class SegEvalCallback:
             acc.update(batch["seg_target"], pred)
         res = acc.result()
         self.mious.append(res["miou"])
+        self.epochs.append(epoch)
         with open(os.path.join(self.log_dir, "epoch_miou.txt"), "a") as f:
             f.write(f"{res['miou']}\n")
+        plot_metric_curve(
+            os.path.join(self.log_dir, "epoch_miou.png"),
+            self.epochs, self.mious, "Miou", "A Miou Curve",
+        )
         return res["miou"]

@@ -41,6 +41,14 @@ def test_train_cli_produces_artifacts(trained):
     assert os.path.exists(os.path.join(save_dir, "epoch_miou.txt"))
     ckpts = os.listdir(os.path.join(save_dir, "ckpt"))
     assert any(c.startswith("step_") for c in ckpts)
+    # plot artifacts (reference: utils/callbacks.py:56-80,230-245)
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        return
+    assert os.path.exists(os.path.join(save_dir, "loss", "epoch_det_seg.png"))
+    assert os.path.exists(os.path.join(save_dir, "epoch_map.png"))
+    assert os.path.exists(os.path.join(save_dir, "epoch_miou.png"))
 
 
 def test_predict_cli_with_trained_weights(trained, env, tmp_path):
@@ -84,3 +92,48 @@ def test_predict_cli_with_trained_weights(trained, env, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(os.path.join(out_seg, os.path.basename(img)))
+
+
+def test_video_modes(trained, env, tmp_path):
+    """Both predict CLIs process a tiny mp4 (reference predict.py:74-140 /
+    predict_seg.py:21,99-144 video modes)."""
+    import re
+
+    import cv2
+
+    save_dir, res = trained
+    m = re.search(r"synthetic dataset: (\S+)", res.stdout)
+    root = m.group(1)
+    img_dir = os.path.join(root, "JPEGImages")
+    img_name = sorted(os.listdir(img_dir))[0]
+    frame = cv2.imread(os.path.join(img_dir, img_name))
+    radar = os.path.join(root, "radar", img_name[:-4] + ".npz")
+
+    video_in = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(video_in, cv2.VideoWriter_fourcc(*"mp4v"), 5.0,
+                        (frame.shape[1], frame.shape[0]))
+    for _ in range(3):
+        w.write(frame)
+    w.release()
+
+    for module, extra in [
+        ("asy_vrnet_tpu.cli.predict", ["--classes", os.path.join(root, "classes.txt"),
+                                       "--conf", "0.01"]),
+        ("asy_vrnet_tpu.cli.predict_seg", []),
+    ]:
+        video_out = str(tmp_path / f"out_{module.rsplit('.', 1)[-1]}.mp4")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", module,
+                "--mode", "video", "--video", video_in, "--video-out", video_out,
+                "--radar", radar,
+                "--weights", os.path.join(save_dir, "last_epoch_weights.npz"),
+                "--input-size", "64", "--compute-dtype", "float32",
+            ] + extra,
+            capture_output=True, text=True, env=env, timeout=1200,
+        )
+        assert r.returncode == 0, (module, r.stderr[-3000:])
+        assert "processed 3 frames" in r.stdout, r.stdout[-2000:]
+        cap = cv2.VideoCapture(video_out)
+        assert cap.isOpened() and int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+        cap.release()

@@ -100,3 +100,67 @@ def test_log_average_miss_rate():
     # empty detections
     lamr, mr, fppi = log_average_miss_rate(np.array([]), np.array([]), 10)
     assert lamr == 0.0
+
+
+def _populated_evaluator():
+    rng = np.random.default_rng(0)
+    ev = DetectionEvaluator(["pier", "vessel"], iou_threshold=0.5)
+    for _ in range(6):
+        gt = rng.uniform(0, 400, (3, 2))
+        gt = np.concatenate([gt, gt + rng.uniform(20, 80, (3, 2))], axis=-1)
+        gcls = rng.integers(0, 2, 3)
+        # detections: jittered gt + one false positive
+        det = gt + rng.normal(0, 2, gt.shape)
+        det = np.concatenate([det, [[0, 0, 30, 30]]], axis=0)
+        scores = rng.uniform(0.3, 1.0, 4)
+        dcls = np.concatenate([gcls, [0]])
+        ev.add_image(det, scores, dcls, gt, gcls)
+    return ev
+
+
+def test_evaluate_returns_curves():
+    res = _populated_evaluator().evaluate("voc")
+    assert res["num_images"] == 6
+    for name in ("pier", "vessel"):
+        c = res["curves"][name]
+        assert c["num_gt"] > 0 and c["scores"].size == c["recall"].size
+        assert np.all(np.diff(c["recall"]) >= 0)          # recall monotone
+        assert np.all((c["f1"] >= 0) & (c["f1"] <= 1.0 + 1e-9))
+        assert 0.0 <= c["lamr"] <= 1.0
+
+
+def test_plot_detection_report(tmp_path):
+    pytest.importorskip("matplotlib")
+    from asy_vrnet_tpu.metrics.plots import plot_detection_report
+
+    res = _populated_evaluator().evaluate("voc")
+    written = plot_detection_report(str(tmp_path), res)
+    import os
+
+    names = {os.path.relpath(w, tmp_path) for w in written}
+    assert "mAP.png" in names and "lamr.png" in names
+    assert "ground-truth-info.png" in names
+    for sub in ("AP", "F1", "Recall", "Precision"):
+        assert f"{sub}/pier.png" in names, names
+    for w in written:
+        assert os.path.getsize(w) > 0
+
+
+def test_plot_miou_and_loss_curves(tmp_path):
+    pytest.importorskip("matplotlib")
+    import os
+
+    from asy_vrnet_tpu.metrics.plots import plot_loss_curves
+    from asy_vrnet_tpu.metrics.miou import save_results
+
+    hist = np.array([[50, 2, 1], [3, 40, 2], [1, 1, 60]])
+    ious = np.array([0.8, 0.7, 0.9])
+    save_results(str(tmp_path), hist, ious, ious, ious, ["a", "b", "c"])
+    for f in ("confusion_matrix.csv", "metrics.csv", "mIoU.png", "mPA.png",
+              "Recall.png", "Precision.png"):
+        assert os.path.exists(tmp_path / f), f
+
+    losses = list(np.linspace(3.0, 1.0, 30))
+    vals = list(np.linspace(3.2, 1.4, 30))
+    assert plot_loss_curves(str(tmp_path / "epoch_loss.png"), losses, vals)
+    assert os.path.getsize(tmp_path / "epoch_loss.png") > 0
