@@ -13,7 +13,15 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from asy_vrnet_tpu.models.layers import DropPath, GroupNorm1, Mlp
+from asy_vrnet_tpu.ops.block_pallas import (
+    fused_mixer_block,
+    fused_mlp_block,
+    mixer_block_supported,
+    mlp_block_supported,
+)
 from asy_vrnet_tpu.ops.cluster import cluster_mix
 from asy_vrnet_tpu.ops.cluster_pallas import cluster_mix_pallas, pallas_supported
 
@@ -85,6 +93,52 @@ class ClusterBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # Fully-fused path: each residual half of the block is ONE Pallas
+        # kernel (ops/block_pallas.py) — GN statistics aside, the block input
+        # is read from HBM exactly once per half instead of materialising the
+        # GN output and the 8x-wider fc1/fc_v/MLP-hidden intermediates.
+        # Gated on: Pallas enabled, supported tile shapes, no active
+        # dropout/droppath (rate 0 in every published variant), and not
+        # initialising (init runs the module path below to create params
+        # under their canonical names; afterwards their values are read
+        # directly from self.variables).
+        fused_ok = (
+            self.use_pallas
+            and self.drop == 0.0
+            and (self.drop_path == 0.0 or not train)
+            and not self.is_initializing()
+            and mixer_block_supported(
+                x.shape, heads=self.heads, head_dim=self.head_dim,
+                fold_h=self.fold_h, fold_w=self.fold_w,
+                proposal_h=self.proposal_h, proposal_w=self.proposal_w,
+            )
+            and mlp_block_supported(x.shape)
+        )
+        if fused_ok:
+            p = self.variables["params"]
+            tm = p["token_mixer"]
+            ones = jnp.ones((self.dim,), jnp.float32)
+            ls1 = p["layer_scale_1"] if self.use_layer_scale else ones
+            ls2 = p["layer_scale_2"] if self.use_layer_scale else ones
+            x = fused_mixer_block(
+                x,
+                p["norm1"]["gn"]["scale"], p["norm1"]["gn"]["bias"],
+                tm["fc1"]["kernel"][0, 0], tm["fc1"]["bias"],
+                tm["fc_v"]["kernel"][0, 0], tm["fc_v"]["bias"],
+                tm["fc2"]["kernel"][0, 0], tm["fc2"]["bias"],
+                ls1, tm["sim_alpha"], tm["sim_beta"],
+                self.heads, self.fold_h, self.fold_w,
+                self.proposal_h, self.proposal_w,
+            )
+            mp = p["mlp"]
+            return fused_mlp_block(
+                x,
+                p["norm2"]["gn"]["scale"], p["norm2"]["gn"]["bias"],
+                mp["fc1"]["kernel"][0, 0], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"][0, 0], mp["fc2"]["bias"],
+                ls2,
+            )
+
         mixer = Cluster(
             out_dim=self.dim,
             proposal_w=self.proposal_w, proposal_h=self.proposal_h,

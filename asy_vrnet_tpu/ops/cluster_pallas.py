@@ -100,6 +100,22 @@ def _tile_pool_matrix_t(region_hw, proposal_hw, gw: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _region_mask(gw: int, heads: int, m: int, rh: int, rw: int) -> np.ndarray:
+    """(Hb, Nt) 1/0 mask: sim row (proposal, region, head) sees only the
+    tokens of its own region.  Precomputed once — computing it in-kernel
+    costs several VPU passes of iota/mod/div/compare per program."""
+    wt = gw * rw
+    nt = rh * wt
+    seg = gw * heads
+    hb = m * seg
+    rows = np.arange(hb)
+    row_region = (rows % seg) // heads
+    cols = np.arange(nt)
+    col_region = (cols % wt) // rw
+    return (row_region[:, None] == col_region[None, :]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _replication_and_masks(gw: int, heads: int, m: int, c: int):
     """Static matrices for the kernel, all row-ordered (proposal, region, head):
 
@@ -124,41 +140,37 @@ def _replication_and_masks(gw: int, heads: int, m: int, c: int):
     return rep, hmask, headsel
 
 
-def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, rep_ref, hmask_ref,
-                    headsel_ref, out_ref, *, heads: int, m: int, gw: int, rw: int):
-    """Rows are ordered (proposal, region, head) so all per-proposal row
-    groups are CONTIGUOUS slices — Mosaic supports neither lane- nor
+def _mixer_core(xb, vb, alpha, beta, pool_t, rep, hmask, headsel, rmask, *,
+                heads: int, m: int, gw: int, rw: int, wt: int):
+    """Shared mixer body over flattened (Nt, C) tokens in the MXU dtype.
+
+    Rows are ordered (proposal, region, head) so all per-proposal row groups
+    are CONTIGUOUS slices — Mosaic supports neither lane- nor
     sublane-splitting reshapes, so replication and per-head norms are matmuls
     and the per-(region,head) argmax is an unrolled max over m static slices.
+    `xb`/`vb` carry the model compute dtype (bf16 in production; f32 exact);
+    every contraction accumulates in f32.  `rmask` is the precomputed (Hb,Nt)
+    region mask.  Returns the mixed (Nt, C) f32 tokens.
     """
-    alpha = params_ref[0]
-    beta = params_ref[1]
     f32 = jnp.float32
-    blk = x_ref[0]                              # (rh, gw*rw, C)
-    rh, wt, c = blk.shape
-    nt = rh * wt
-    x = blk.reshape(nt, c)
-    v = v_ref[0].reshape(nt, c)
-    pool_t = pool_ref[:]                        # (Nt, Mb)
-    rep = rep_ref[:]                            # (Hb, Mb)
-    hmask = hmask_ref[:]                        # (Hb, C)
-    headsel = headsel_ref[:]                    # (C, heads)
-    hb = hmask.shape[0]
+    nt, c = xb.shape
+    mxu = xb.dtype
     seg = gw * heads                            # rows per proposal index
 
-    xf = x.astype(f32)
-    vf = v.astype(f32)
+    # pooling with mxu-dtype operands (the jnp reference path also pools in
+    # the compute dtype); f32 accumulation
     c_pre = jax.lax.dot_general(
-        pool_t, xf, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        pool_t, xb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
     )                                           # (Mb, C)
     vc_pre = jax.lax.dot_general(
-        pool_t, vf, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        pool_t, vb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
     )
     c_rep = jnp.dot(rep, c_pre, preferred_element_type=f32) * hmask     # (Hb, C)
     vc_full = jnp.dot(rep, vc_pre, preferred_element_type=f32) * hmask
 
     cn = c_rep * jax.lax.rsqrt(jnp.sum(c_rep * c_rep, axis=1, keepdims=True) + 1e-12)
     # per-head token norms via the head-indicator matmul
+    xf = xb.astype(f32)
     norm2 = jnp.dot(xf * xf, headsel, preferred_element_type=f32)       # (Nt, heads)
     inv_full = jax.lax.dot_general(
         jax.lax.rsqrt(norm2 + 1e-12), headsel, (((1,), (1,)), ((), ())),
@@ -166,23 +178,15 @@ def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, rep_ref, hmask_ref,
     )                                           # (Nt, C)
     xn = xf * inv_full
 
-    # MXU operands in the model's compute dtype (bf16 doubles MXU rate);
-    # accumulation stays f32.  For f32 inputs this is exact.
-    mxu = x.dtype
-    sim = jax.nn.sigmoid(
+    s = jax.nn.sigmoid(
         beta + alpha * jax.lax.dot_general(
             cn.astype(mxu), xn.astype(mxu), (((1,), (1,)), ((), ())),
             preferred_element_type=f32,
         )
     )                                           # (Hb, Nt)
 
-    # restrict to the row's region: token (y, x) -> region x // rw
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, nt), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, nt), 1)
-    col_region = (col_ids % wt) // rw
-    row_region = (row_ids % seg) // heads
-    in_region = row_region == col_region
-    sim = jnp.where(in_region, sim, -1.0)
+    # out-of-region entries -> -1 so they can never win the assignment
+    sim = s * rmask + (rmask - 1.0)
 
     # first-max assignment over the m proposals of each (region, head):
     # proposal mm owns contiguous rows [mm*seg, (mm+1)*seg)
@@ -195,13 +199,13 @@ def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, rep_ref, hmask_ref,
         arg = jnp.where(better, mm, arg)
     mask = jnp.concatenate(
         [(arg == mm).astype(f32) for mm in range(m)], axis=0
-    )                                           # (Hb, Nt)
-    mask = mask * in_region.astype(f32)
-    sim = sim * mask
+    ) * rmask                                   # (Hb, Nt)
+    sim = s * mask
 
     counts = jnp.sum(mask, axis=1, keepdims=True)       # (Hb, 1)
     agg = jax.lax.dot_general(
-        sim.astype(mxu), v, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        sim.astype(mxu), vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
     )                                                   # (Hb, C)
     oc = ((agg + vc_full) / (counts + 1.0)) * hmask
 
@@ -209,6 +213,25 @@ def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, rep_ref, hmask_ref,
         sim.astype(mxu), oc.astype(mxu), (((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     )                                                   # (Nt, C)
+    return out
+
+
+def _cluster_kernel(params_ref, x_ref, v_ref, pool_ref, rep_ref, hmask_ref,
+                    headsel_ref, rmask_ref, out_ref, *, heads: int, m: int,
+                    gw: int, rw: int):
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    blk = x_ref[0]                              # (rh, gw*rw, C)
+    rh, wt, c = blk.shape
+    nt = rh * wt
+    x = blk.reshape(nt, c)
+    v = v_ref[0].reshape(nt, c)
+
+    out = _mixer_core(
+        x, v, alpha, beta,
+        pool_ref[:], rep_ref[:], hmask_ref[:], headsel_ref[:], rmask_ref[:],
+        heads=heads, m=m, gw=gw, rw=rw, wt=wt,
+    )
     out_ref[0] = out.reshape(rh, wt, c).astype(out_ref.dtype)
 
 
@@ -242,11 +265,14 @@ def _cluster_nhwc_pallas(
     mb = gw * m
     hb = gw * heads * m
 
-    pool_t = jnp.asarray(_tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw))
+    mxu = feat.dtype
+    pool_t = jnp.asarray(
+        _tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw), mxu)
     rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, c)
     rep = jnp.asarray(rep_np)
     hmask = jnp.asarray(hmask_np)
     headsel = jnp.asarray(headsel_np)
+    rmask = jnp.asarray(_region_mask(gw, heads, m, rh, rw))
     params = jnp.stack([alpha.astype(jnp.float32), beta.astype(jnp.float32)])
 
     kernel = functools.partial(_cluster_kernel, heads=heads, m=m, gw=gw, rw=rw)
@@ -265,6 +291,7 @@ def _cluster_nhwc_pallas(
             pl.BlockSpec((hb, mb), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hb, c), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, heads), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, nt), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, rh, wt, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM
@@ -276,12 +303,12 @@ def _cluster_nhwc_pallas(
             transcendentals=b * fold_h * (fold_w // gw) * hb * nt,
         ),
         interpret=interpret,
-    )(params, feat, value, pool_t, rep, hmask, headsel)
+    )(params, feat, value, pool_t, rep, hmask, headsel, rmask)
 
 
 def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
-                        hmask_ref, headsel_ref, dx_ref, dv_ref, dab_ref, *,
-                        heads: int, m: int, gw: int, rw: int):
+                        hmask_ref, headsel_ref, rmask_ref, dx_ref, dv_ref,
+                        dab_ref, *, heads: int, m: int, gw: int, rw: int):
     """Fused backward: recompute the forward's sim/mask (rematerialisation in
     VMEM), then propagate the cotangent through dispatch -> aggregate ->
     sigmoid -> cosine-sim -> normalisations -> pooling, all as dense matmuls
@@ -294,20 +321,23 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
     blk = x_ref[0]
     rh, wt, c = blk.shape
     nt = rh * wt
-    x = blk.reshape(nt, c).astype(f32)
-    v = v_ref[0].reshape(nt, c).astype(f32)
+    xb = blk.reshape(nt, c)
+    vb = v_ref[0].reshape(nt, c)
+    x = xb.astype(f32)
+    v = vb.astype(f32)
     g = g_ref[0].reshape(nt, c).astype(f32)
     pool_t = pool_ref[:]
     rep = rep_ref[:]
     hmask = hmask_ref[:]
     headsel = headsel_ref[:]
-    hb = hmask.shape[0]
+    rmask = rmask_ref[:]
     seg = gw * heads
 
-    # ---- recompute forward ----
-    c_pre = jax.lax.dot_general(pool_t, x, (((0,), (0,)), ((), ())),
+    # ---- recompute forward (pooling with the same mxu-dtype operands as
+    # the forward kernel) ----
+    c_pre = jax.lax.dot_general(pool_t, xb, (((0,), (0,)), ((), ())),
                                 preferred_element_type=f32)
-    vc_pre = jax.lax.dot_general(pool_t, v, (((0,), (0,)), ((), ())),
+    vc_pre = jax.lax.dot_general(pool_t, vb, (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32)
     c_rep = jnp.dot(rep, c_pre, preferred_element_type=f32) * hmask
     vc_full = jnp.dot(rep, vc_pre, preferred_element_type=f32) * hmask
@@ -331,10 +361,7 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
                               preferred_element_type=f32)       # (Hb, Nt)
     s = jax.nn.sigmoid(beta + alpha * raw)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, nt), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, nt), 1)
-    in_region = ((row_ids % seg) // heads) == ((col_ids % wt) // rw)
-    s_m = jnp.where(in_region, s, -1.0)
+    s_m = s * rmask + (rmask - 1.0)
     best = s_m[0:seg]
     arg = jnp.zeros_like(best, dtype=jnp.int32)
     for mm in range(1, m):
@@ -343,12 +370,13 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
         best = jnp.where(better, part, best)
         arg = jnp.where(better, mm, arg)
     mask = jnp.concatenate([(arg == mm).astype(f32) for mm in range(m)], axis=0)
-    mask = mask * in_region.astype(f32)
+    mask = mask * rmask
     sim = s * mask
 
     counts = jnp.sum(mask, axis=1, keepdims=True)
     inv_cnt = 1.0 / (counts + 1.0)
-    agg = jnp.dot(sim, v, preferred_element_type=f32)
+    agg = jax.lax.dot_general(sim.astype(mxu), vb, (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)
     oc = ((agg + vc_full) * inv_cnt) * hmask
 
     # ---- backward ----
@@ -367,7 +395,8 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
     # vc path: vc_full = (rep @ (pool^T v)) * hmask; d_num already hmask'd
     d_vc_pre = jax.lax.dot_general(rep, d_num, (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)  # (Mb, C)
-    dv = dv + jnp.dot(pool_t, d_vc_pre, preferred_element_type=f32)
+    pool_f32 = pool_t.astype(f32)
+    dv = dv + jnp.dot(pool_f32, d_vc_pre, preferred_element_type=f32)
 
     # sim = sigmoid(beta + alpha*raw) * mask (mask, counts constant)
     d_s = d_sim * mask
@@ -395,7 +424,7 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
     d_c_rep = inv_c * (d_cn - cn * dot_c)
     d_c_pre = jax.lax.dot_general(rep, d_c_rep * hmask, (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)   # (Mb, C)
-    dx = dx + jnp.dot(pool_t, d_c_pre, preferred_element_type=f32)
+    dx = dx + jnp.dot(pool_f32, d_c_pre, preferred_element_type=f32)
 
     dx_ref[0] = dx.reshape(rh, wt, c).astype(dx_ref.dtype)
     dv_ref[0] = dv.reshape(rh, wt, c).astype(dv_ref.dtype)
@@ -422,8 +451,10 @@ def _cluster_nhwc_pallas_bwd(feat, value, g, alpha, beta, heads, fold_h,
     hb = gw * heads * m
     fwg = fold_w // gw
 
-    pool_t = jnp.asarray(_tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw))
+    pool_t = jnp.asarray(
+        _tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw), feat.dtype)
     rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, c)
+    rmask = jnp.asarray(_region_mask(gw, heads, m, rh, rw))
     params = jnp.stack([alpha.astype(jnp.float32), beta.astype(jnp.float32)])
 
     kernel = functools.partial(_cluster_bwd_kernel, heads=heads, m=m, gw=gw, rw=rw)
@@ -438,6 +469,7 @@ def _cluster_nhwc_pallas_bwd(feat, value, g, alpha, beta, heads, fold_h,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             tile_spec, tile_spec, tile_spec,
             const((nt, mb)), const((hb, mb)), const((hb, c)), const((c, heads)),
+            const((hb, nt)),
         ],
         out_specs=(
             tile_spec, tile_spec,
@@ -451,7 +483,7 @@ def _cluster_nhwc_pallas_bwd(feat, value, g, alpha, beta, heads, fold_h,
         ),
         interpret=interpret,
     )(params, feat, value, g, pool_t, jnp.asarray(rep_np),
-      jnp.asarray(hmask_np), jnp.asarray(headsel_np))
+      jnp.asarray(hmask_np), jnp.asarray(headsel_np), rmask)
     dalpha = jnp.sum(dab[..., 0]).astype(alpha.dtype)
     dbeta = jnp.sum(dab[..., 1]).astype(beta.dtype)
     return dx, dv, dalpha, dbeta
