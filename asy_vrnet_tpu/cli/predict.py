@@ -28,6 +28,11 @@ def main(argv=None) -> None:
     p.add_argument("--nms-iou", type=float, default=0.5)
     p.add_argument("--out", default="predict_out")
     p.add_argument("--test-interval", type=int, default=100)
+    p.add_argument(
+        "--device-time", action="store_true",
+        help="fps mode: chained device-time protocol instead of wall clock "
+             "(required for honest numbers through an async transport)",
+    )
     p.add_argument("--compute-dtype", default="bfloat16")
     args = p.parse_args(argv)
 
@@ -64,7 +69,9 @@ def main(argv=None) -> None:
         print(f"saved {out_path}")
     elif args.mode == "fps":
         image, radar = load_pair(args.image, args.radar)
-        tact = det.get_fps(image, radar, args.test_interval)
+        tact = det.get_fps(
+            image, radar, args.test_interval, device_time=args.device_time
+        )
         print(f"{tact:.6f} seconds, {1.0 / tact:.2f} FPS, @batch_size 1")
     elif args.mode == "heatmap":
         image, radar = load_pair(args.image, args.radar)

@@ -25,6 +25,10 @@ def main(argv=None) -> None:
     p.add_argument("--mix-type", type=int, default=0, choices=[0, 1, 2])
     p.add_argument("--out", default="predict_seg_out")
     p.add_argument("--test-interval", type=int, default=100)
+    p.add_argument(
+        "--device-time", action="store_true",
+        help="fps mode: chained device-time protocol instead of wall clock",
+    )
     p.add_argument("--compute-dtype", default="bfloat16")
     args = p.parse_args(argv)
 
@@ -54,7 +58,9 @@ def main(argv=None) -> None:
         print(f"saved {out_path}")
     elif args.mode == "fps":
         image, radar = load_pair(args.image, args.radar)
-        tact = seg.get_fps(image, radar, args.test_interval)
+        tact = seg.get_fps(
+            image, radar, args.test_interval, device_time=args.device_time
+        )
         print(f"{tact:.6f} seconds, {1.0 / tact:.2f} FPS, @batch_size 1")
     elif args.mode == "dir_predict":
         from asy_vrnet_tpu.data.dataset import _ID_PATTERN

@@ -210,7 +210,10 @@ def main(argv=None) -> None:
             augment=augment, weather=args.weather and augment,
             seed=cfg.train.seed,
         )
-        return DataLoader(ds, cfg.train.batch_size, shuffle=shuffle, seed=cfg.train.seed)
+        return DataLoader(
+            ds, cfg.train.batch_size, shuffle=shuffle, seed=cfg.train.seed,
+            workers=max(1, cfg.train.num_workers),
+        )
 
     train_loader = mk_loader(cfg.data.train_annotation_path, True, args.augment)
     val_loader = mk_loader(cfg.data.val_annotation_path, False)

@@ -14,6 +14,7 @@ import os
 import queue
 import re
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -61,6 +62,7 @@ class WaterScenesDataset:
         weather: bool = False,
         flip_prob: float = 0.5,
         seed: int = 0,
+        host_normalize: bool = False,
     ):
         self.lines = [l for l in annotation_lines if l.strip()]
         self.input_shape = input_shape
@@ -78,7 +80,17 @@ class WaterScenesDataset:
         self.augment = augment
         self.weather = weather
         self.flip_prob = flip_prob
-        self.aug_rng = np.random.default_rng(seed)
+        # Augmentation randomness is per-(seed, epoch, sample) so concurrent
+        # DataLoader worker threads stay deterministic AND race-free (a shared
+        # Generator is not thread-safe).  DataLoader bumps `epoch`.
+        self.seed = seed
+        self.epoch = 0
+        # host_normalize=False (the default, lean pipeline): images leave the
+        # loader as uint8 HWC and are /255 + ImageNet-normalised ON DEVICE
+        # (preprocess.maybe_normalize_image_device inside the jit'd steps) —
+        # 4x less H2D traffic and no per-pixel host float math.  True keeps
+        # the reference's host-side preprocess_input (utils/utils.py:43-47).
+        self.host_normalize = host_normalize
         # native C++ npz loader (GIL-free, threaded): used when the library
         # builds; transparent numpy fallback otherwise
         from asy_vrnet_tpu.data import native_io
@@ -126,7 +138,8 @@ class WaterScenesDataset:
         if self.augment:
             from asy_vrnet_tpu.data.augment import apply_weather, flip_horizontal, hsv_jitter
 
-            if self.aug_rng.random() < self.flip_prob:
+            aug_rng = np.random.default_rng((self.seed, self.epoch, index))
+            if aug_rng.random() < self.flip_prob:
                 img_u8, boxes_cxcywh_xyxy, seg_u8, radar_arr = flip_horizontal(
                     img_u8,
                     # flip operates on xyxy; convert back after
@@ -141,15 +154,20 @@ class WaterScenesDataset:
                     seg_u8, radar_arr,
                 )
                 boxes_cxcywh = boxes_xyxy_to_cxcywh(boxes_cxcywh_xyxy)
-            img_u8 = hsv_jitter(np.ascontiguousarray(img_u8), self.aug_rng)
+            img_u8 = hsv_jitter(np.ascontiguousarray(img_u8), aug_rng)
             if self.weather:
-                img_u8 = apply_weather(img_u8, self.aug_rng)
+                img_u8 = apply_weather(img_u8, aug_rng)
             radar_arr = np.ascontiguousarray(radar_arr)
 
-        img_arr = normalize_image(img_u8).astype(np.float32)
+        if self.host_normalize:
+            img_arr = normalize_image(img_u8).astype(np.float32)
+        else:
+            img_arr = np.ascontiguousarray(img_u8)
         seg_arr = seg_u8.astype(np.int64)
         seg_arr[seg_arr >= self.num_seg_classes] = self.num_seg_classes
-        onehot = np.eye(self.num_seg_classes + 1, dtype=np.float32)[seg_arr]
+        # NOTE: no seg_onehot here — the train/eval steps one-hot the int map
+        # on device (train_step.seg_onehot_of), saving ~10 MB/sample of host
+        # memset and H2D transfer.
 
         gt_boxes = np.zeros((self.max_boxes, 4), np.float32)
         gt_classes = np.zeros((self.max_boxes,), np.int32)
@@ -167,7 +185,6 @@ class WaterScenesDataset:
             "gt_classes": gt_classes,
             "gt_valid": gt_valid,
             "seg_target": seg_arr.astype(np.int32),
-            "seg_onehot": onehot,
             "image_id": image_id,
         }
 
@@ -183,8 +200,13 @@ def _stack(samples: Sequence[dict]) -> dict:
 
 
 class DataLoader:
-    """Minimal epoch iterator with shuffling, drop-last batching and
-    background-thread prefetch."""
+    """Minimal epoch iterator with shuffling, drop-last batching,
+    background-thread prefetch and a thread pool for per-sample decode.
+
+    The sample work (JPEG/PNG decode, npz parse, letterbox) releases the GIL
+    in PIL/numpy/native-IO C code, so `workers` threads give near-linear
+    speedup without the process overhead of the reference's torch DataLoader
+    workers (train.py:534-539)."""
 
     def __init__(
         self,
@@ -194,6 +216,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         drop_last: bool = True,
+        workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -201,12 +224,15 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.workers = workers
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch += 1  # fresh augmentation stream per epoch
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -215,36 +241,53 @@ class DataLoader:
             for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0),
                            self.batch_size)
         ]
-        if self.prefetch <= 0:
-            for idxs in batches:
-                yield _stack([self.dataset[i] for i in idxs])
-            return
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
+        def load_batch(idxs) -> dict:
+            if self.workers > 1 and len(idxs) > 1:
+                samples = list(pool.map(self.dataset.__getitem__, idxs))
+            else:
+                samples = [self.dataset[i] for i in idxs]
+            return _stack(samples)
 
-        def worker():
-            # A failing sample (missing radar npz, corrupt PNG, ...) must
-            # fail the epoch loudly, not truncate it: enqueue the exception
-            # and re-raise it in the consuming thread.
-            try:
+        pool = (
+            ThreadPoolExecutor(max_workers=self.workers, thread_name_prefix="asyvr-load")
+            if self.workers > 1
+            else None
+        )
+        try:
+            if self.prefetch <= 0:
                 for idxs in batches:
-                    q.put(_stack([self.dataset[i] for i in idxs]))
-                q.put(sentinel)
-            except BaseException as e:  # noqa: BLE001 — relayed to consumer
-                q.put(e)
+                    yield load_batch(idxs)
+                return
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+            q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+            sentinel = object()
+
+            def worker():
+                # A failing sample (missing radar npz, corrupt PNG, ...) must
+                # fail the epoch loudly, not truncate it: enqueue the exception
+                # and re-raise it in the consuming thread.
+                try:
+                    for idxs in batches:
+                        q.put(load_batch(idxs))
+                    q.put(sentinel)
+                except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                    q.put(e)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    t.join()
+                    raise item
+                yield item
+            t.join()
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def read_annotation_file(path: str) -> list[str]:

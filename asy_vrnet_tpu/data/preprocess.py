@@ -83,6 +83,21 @@ def normalize_image(image: np.ndarray) -> np.ndarray:
     return (image - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def maybe_normalize_image_device(image):
+    """Device-side normalize for uint8 batches; float batches pass through.
+
+    The lean pipeline ships uint8 images (4x less H2D traffic and no host
+    float math) and runs /255 + ImageNet mean/std inside the jit'd step,
+    where XLA fuses it into the first convolution's input read.  Numerics
+    match normalize_image to fp32 rounding."""
+    import jax.numpy as jnp
+
+    if image.dtype == jnp.uint8:
+        x = image.astype(jnp.float32) / 255.0
+        return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return image
+
+
 def normalize_radar_minmax(data: np.ndarray) -> np.ndarray:
     """Global min-max to [0,1] + eps (preprocess_input_radar, utils/utils.py:50-53).
 

@@ -31,19 +31,22 @@ class SegOnlyDataset:
         train: bool,
         dataset_path: str,
         seed: int = 0,
+        host_normalize: bool = False,
     ):
         self.lines = [l.strip() for l in annotation_lines if l.strip()]
         self.input_shape = input_shape
         self.num_classes = num_classes
         self.train = train
         self.dataset_path = dataset_path
-        self.rng = np.random.default_rng(seed)
+        # per-(seed, epoch, sample) RNG: deterministic and safe under
+        # DataLoader worker threads (a shared Generator is neither)
+        self.seed = seed
+        self.epoch = 0
+        # False: emit uint8, normalise on device (see WaterScenesDataset)
+        self.host_normalize = host_normalize
 
     def __len__(self) -> int:
         return len(self.lines)
-
-    def _rand(self, a=0.0, b=1.0) -> float:
-        return float(self.rng.uniform(a, b))
 
     def __getitem__(self, index: int) -> dict:
         from PIL import Image
@@ -55,23 +58,30 @@ class SegOnlyDataset:
         png = Image.open(
             os.path.join(self.dataset_path, "VOC2007", "SegmentationClass", name + ".png")
         )
-        jpg, png = self._random_data(jpg, png)
+        rng = np.random.default_rng((self.seed, self.epoch, index))
+        jpg, png = self._random_data(jpg, png, rng)
 
-        img = normalize_image(np.asarray(jpg)).astype(np.float32)
+        if self.host_normalize:
+            img = normalize_image(np.asarray(jpg)).astype(np.float32)
+        else:
+            img = np.ascontiguousarray(np.asarray(jpg))
         seg = np.asarray(png).astype(np.int64)
         seg[seg >= self.num_classes] = self.num_classes
-        onehot = np.eye(self.num_classes + 1, dtype=np.float32)[seg]
+        # seg_onehot intentionally omitted — computed on device
+        # (train_step.seg_onehot_of) to keep the host pipeline lean.
         return {
             "image": img,
             "seg_target": seg.astype(np.int32),
-            "seg_onehot": onehot,
             "image_id": name,
         }
 
-    def _random_data(self, image, label, jitter=0.3):
+    def _random_data(self, image, label, rng, jitter=0.3):
         from PIL import Image
 
         import cv2
+
+        def _rand(a=0.0, b=1.0) -> float:
+            return float(rng.uniform(a, b))
 
         image = cvt_color(image)
         label = Image.fromarray(np.asarray(label))
@@ -82,8 +92,8 @@ class SegOnlyDataset:
             return image, label
 
         iw, ih = image.size
-        new_ar = iw / ih * self._rand(1 - jitter, 1 + jitter) / self._rand(1 - jitter, 1 + jitter)
-        scale = self._rand(0.25, 2)
+        new_ar = iw / ih * _rand(1 - jitter, 1 + jitter) / _rand(1 - jitter, 1 + jitter)
+        scale = _rand(0.25, 2)
         if new_ar < 1:
             nh = int(scale * h)
             nw = max(int(nh * new_ar), 1)
@@ -93,22 +103,22 @@ class SegOnlyDataset:
         image = image.resize((nw, nh), Image.BICUBIC)
         label = label.resize((nw, nh), Image.NEAREST)
 
-        if self._rand() < 0.5:
+        if _rand() < 0.5:
             image = image.transpose(Image.FLIP_LEFT_RIGHT)
             label = label.transpose(Image.FLIP_LEFT_RIGHT)
 
-        dx = int(self._rand(0, max(w - nw, 0))) if w > nw else (w - nw) // 2
-        dy = int(self._rand(0, max(h - nh, 0))) if h > nh else (h - nh) // 2
+        dx = int(_rand(0, max(w - nw, 0))) if w > nw else (w - nw) // 2
+        dy = int(_rand(0, max(h - nh, 0))) if h > nh else (h - nh) // 2
         new_image = Image.new("RGB", (w, h), (128, 128, 128))
         new_label = Image.new("L", (w, h), 0)
         new_image.paste(image, (dx, dy))
         new_label.paste(label, (dx, dy))
 
         image_data = np.asarray(new_image, dtype=np.uint8)
-        if self._rand() < 0.25:
+        if _rand() < 0.25:
             image_data = cv2.GaussianBlur(image_data, (5, 5), 0)
-        if self._rand() < 0.25:
-            angle = int(self.rng.integers(-10, 11))
+        if _rand() < 0.25:
+            angle = int(rng.integers(-10, 11))
             center = (w // 2, h // 2)
             m = cv2.getRotationMatrix2D(center, -angle, 1)
             image_data = cv2.warpAffine(
@@ -121,5 +131,5 @@ class SegOnlyDataset:
                     flags=cv2.INTER_NEAREST, borderValue=(0,),
                 )
             )
-        image_data = hsv_jitter(image_data, self.rng, hue=0.1, sat=0.7, val=0.3)
+        image_data = hsv_jitter(image_data, rng, hue=0.1, sat=0.7, val=0.3)
         return Image.fromarray(image_data), new_label

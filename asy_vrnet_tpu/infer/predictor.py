@@ -160,9 +160,33 @@ class Detector(_Base):
             draw.text((x1, max(0, y1 - 12)), label, fill=color)
         return image
 
-    def get_fps(self, image, radar: np.ndarray, test_interval: int = 100) -> float:
-        """Wall-clock seconds per forward+decode+NMS (yolo.py:229-286)."""
+    def get_fps(
+        self, image, radar: np.ndarray, test_interval: int = 100,
+        device_time: bool = False,
+    ) -> float:
+        """Seconds per forward+decode+NMS (yolo.py:229-286).
+
+        The default wall-clock loop is reference-parity API but is FICTION
+        through an async relay: block_until_ready can return before device
+        execution completes (see BENCH_NOTES.md).  Pass device_time=True for
+        the honest chained-fori_loop device time.
+        """
         img, rad, _, _ = self._prep(image, radar)
+        if device_time:
+            from asy_vrnet_tpu.utils.profiling import chained_device_time
+
+            conf = jnp.float32(self.conf_thres)
+            return chained_device_time(
+                lambda v, i, r, c: self._detect(v, i, r, c),
+                self.variables, img, rad, conf,
+            )
+        import warnings
+
+        warnings.warn(
+            "Detector.get_fps wall-clock timing is unreliable through an "
+            "async transport; use device_time=True for device time.",
+            stacklevel=2,
+        )
         out = self._detect(self.variables, img, rad, self.conf_thres)
         jax.block_until_ready(out)
         t0 = time.time()
@@ -265,8 +289,27 @@ class Segmenter(_Base):
 
         return Image.fromarray(self.predict_mask(image, radar).astype(np.uint8))
 
-    def get_fps(self, image, radar: np.ndarray, test_interval: int = 100) -> float:
+    def get_fps(
+        self, image, radar: np.ndarray, test_interval: int = 100,
+        device_time: bool = False,
+    ) -> float:
+        """Seconds per segmentation forward (deeplab.py:224-277).  See
+        Detector.get_fps: wall-clock is unreliable through an async relay;
+        device_time=True uses the chained device-time protocol."""
         img, rad, _, _ = self._prep(image, radar)
+        if device_time:
+            from asy_vrnet_tpu.utils.profiling import chained_device_time
+
+            return chained_device_time(
+                lambda v, i, r: self._seg(v, i, r), self.variables, img, rad
+            )
+        import warnings
+
+        warnings.warn(
+            "Segmenter.get_fps wall-clock timing is unreliable through an "
+            "async transport; use device_time=True for device time.",
+            stacklevel=2,
+        )
         out = self._seg(self.variables, img, rad)
         jax.block_until_ready(out)
         t0 = time.time()

@@ -63,19 +63,24 @@ def yolox_loss(
     fg = assign.fg_mask.astype(jnp.float32)                 # (B, A)
     num_fg = jnp.maximum(jnp.sum(assign.num_fg), 1.0)
 
+    # Matched-GT lookups as one-hot matmuls, NOT take_along_axis: per-anchor
+    # gathers lower to scalar-indexed gathers on TPU (slow + slow transpose);
+    # the (B,A,G)x(B,G,*) contractions ride the MXU instead.
+    match_onehot = jax.nn.one_hot(
+        assign.matched_gt, gt_boxes.shape[1], dtype=jnp.float32
+    )                                                        # (B, A, G)
+
     # regression: IoU^2 loss on positives against their matched GT box
-    matched_boxes = jnp.take_along_axis(
-        gt_boxes, assign.matched_gt[..., None].repeat(4, axis=-1), axis=1
-    )
+    matched_boxes = jnp.einsum("bag,bgk->bak", match_onehot, gt_boxes)
     loss_iou = jnp.sum(iou_loss_squared(bbox_preds, matched_boxes) * fg)
 
     # objectness: BCE over all anchors, target = fg mask
     loss_obj = jnp.sum(_bce_with_logits(obj_logits, fg))
 
     # classification: BCE on positives, soft target = one_hot * matched IoU
-    matched_cls = jnp.take_along_axis(gt_classes, assign.matched_gt, axis=1)
+    gt_cls_onehot = jax.nn.one_hot(gt_classes, c, dtype=jnp.float32)  # (B,G,C)
     cls_target = (
-        jax.nn.one_hot(matched_cls, c, dtype=jnp.float32)
+        jnp.einsum("bag,bgc->bac", match_onehot, gt_cls_onehot)
         * assign.pred_iou[..., None]
     )
     loss_cls = jnp.sum(

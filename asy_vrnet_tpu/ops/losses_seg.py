@@ -38,15 +38,21 @@ def _weighted_ce_elementwise(
     cls_weights: Optional[jnp.ndarray],
     num_classes: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-element weighted NLL (0 where ignored) and per-element weights."""
+    """Per-element weighted NLL (0 where ignored) and per-element weights.
+
+    The label lookup is a one-hot multiply-reduce, NOT take_along_axis: a
+    per-element gather over millions of pixels lowers to a scalar-indexed
+    gather on TPU and costs ~70 ms/step at (16,512,512) — the one-hot
+    contraction is a fused vector op and effectively free."""
     valid = target < num_classes
     t = jnp.where(valid, target, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
+    onehot = jax.nn.one_hot(t, logits.shape[-1], dtype=logp.dtype)  # (N, C)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if cls_weights is None:
         w = jnp.ones_like(nll)
     else:
-        w = cls_weights[t].astype(nll.dtype)
+        w = (onehot @ cls_weights.astype(logp.dtype)).astype(nll.dtype)
     nll = jnp.where(valid, w * nll, 0.0)
     w = jnp.where(valid, w, 0.0)
     return nll, w

@@ -138,10 +138,11 @@ def simota_assign(
     rank_ok = jnp.arange(k)[None, :] < dynamic_ks[:, None]
     # never select anchors carrying the big-M (outside fg prefilter / invalid gt)
     rank_ok &= (-neg_topk) < _BIG / 2
-    matching = jnp.zeros((g, a), jnp.float32)
-    matching = jax.vmap(
-        lambda m, idx, ok: m.at[idx].add(ok.astype(jnp.float32))
-    )(matching, top_idx, rank_ok)                                     # (G, A)
+    # one-hot sum instead of a scatter-add: .at[idx].add lowers to a serial
+    # scatter on TPU; the (G,k,A) one-hot reduce is a fused vector op (top_k
+    # indices within a row are distinct, so the sum equals the scatter).
+    sel = jax.nn.one_hot(top_idx, a, dtype=jnp.float32)               # (G, k, A)
+    matching = jnp.sum(sel * rank_ok[..., None].astype(jnp.float32), axis=1)
 
     # conflict resolution: anchors matched to >1 GT keep only the min-cost GT
     # (a conflicted anchor by definition stays matched — just re-pointed).

@@ -92,7 +92,12 @@ class DetEvalCallback:
         num_classes = cfg.model.num_classes
 
         def det_fn(variables, image, radar):
-            det, _ = model.apply(variables, image, radar, train=False)
+            from asy_vrnet_tpu.data.preprocess import maybe_normalize_image_device
+
+            det, _ = model.apply(
+                variables, maybe_normalize_image_device(image), radar,
+                train=False,
+            )
             pred = decode_predictions(det, input_hw, cfg.model.head_strides)
             return non_max_suppression(
                 pred, num_classes, conf_thres=conf_thres, nms_thres=nms_thres,
@@ -150,7 +155,12 @@ class SegEvalCallback:
         os.makedirs(log_dir, exist_ok=True)
 
         def seg_fn(variables, image, radar):
-            _, seg = model.apply(variables, image, radar, train=False)
+            from asy_vrnet_tpu.data.preprocess import maybe_normalize_image_device
+
+            _, seg = model.apply(
+                variables, maybe_normalize_image_device(image), radar,
+                train=False,
+            )
             return jnp.argmax(seg, axis=-1)
 
         self._seg = jax.jit(seg_fn)

@@ -9,7 +9,6 @@ from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from asy_vrnet_tpu.config import Config
 from asy_vrnet_tpu.data.dataset import DataLoader
@@ -29,6 +28,20 @@ from asy_vrnet_tpu.train.train_step import build_eval_step, build_train_step
 
 def _device_batch(batch: dict) -> dict:
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+
+
+def _mean_metrics(metric_dicts: list[dict]) -> dict:
+    """Epoch-mean of per-step metric dicts with ONE host transfer.
+
+    Pulling float(m[k]) per step per key forces steps_per_epoch * n_keys
+    blocking round trips (each ~30 ms through a relay) and serialises the
+    otherwise-async dispatch of the training steps; stacking on device and
+    fetching once keeps the epoch loop free-running."""
+    if not metric_dicts:
+        return {}
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metric_dicts)
+    means = jax.device_get(jax.tree.map(jnp.mean, stacked))
+    return {k: float(v) for k, v in means.items()}
 
 
 def fit(
@@ -68,7 +81,7 @@ def fit(
         frozen_loader = DataLoader(
             train_loader.dataset, tcfg.freeze_batch_size,
             shuffle=train_loader.shuffle, prefetch=train_loader.prefetch,
-            drop_last=train_loader.drop_last,
+            drop_last=train_loader.drop_last, workers=train_loader.workers,
         )
     step_frozen = build_train_step(model, cfg, tx, freeze_backbone=True)
     step_unfrozen = build_train_step(model, cfg, tx, freeze_backbone=False)
@@ -99,10 +112,7 @@ def fit(
                 db = shard_batch(db, mesh)
             state, metrics = step_fn(state, db)
             train_metrics.append(metrics)
-        tm = {
-            k: float(np.mean([float(m[k]) for m in train_metrics]))
-            for k in train_metrics[0]
-        } if train_metrics else {}
+        tm = _mean_metrics(train_metrics)
 
         vm = {}
         if val_loader is not None:
@@ -113,10 +123,7 @@ def fit(
                 if mesh is not None:
                     db = shard_batch(db, mesh)
                 val_metrics.append(ev_step(variables, db))
-            vm = {
-                k: float(np.mean([float(m[k]) for m in val_metrics]))
-                for k in val_metrics[0]
-            } if val_metrics else {}
+            vm = _mean_metrics(val_metrics)
 
         log(
             f"epoch {epoch + 1}/{tcfg.epochs} lr={lr:.2e} "

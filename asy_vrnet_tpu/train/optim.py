@@ -86,9 +86,45 @@ def decay_mask(params) -> Any:
     return jax.tree.map(lambda p: p.ndim >= 2, params)
 
 
+def flat_decay_mask(params) -> jnp.ndarray:
+    """decay_mask as a 0/1 f32 vector in ravel_pytree leaf order."""
+    from jax.flatten_util import ravel_pytree
+
+    return ravel_pytree(
+        jax.tree.map(
+            lambda p: jnp.full(p.shape, float(p.ndim >= 2), jnp.float32), params
+        )
+    )[0]
+
+
+def _add_flat_decayed_weights(
+    weight_decay: float, mask_vec: jnp.ndarray
+) -> optax.GradientTransformation:
+    """add_decayed_weights for a flattened update vector, masked elementwise
+    (replaces optax.masked(add_decayed_weights, tree_mask) under
+    optax.flatten, where a tree mask no longer matches)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return updates + weight_decay * mask_vec * params, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
     """SGD-nesterov / Adam with pg-style selective weight decay and an
-    injected (mutable) learning rate."""
+    injected (mutable) learning rate.
+
+    The whole transformation runs on ONE flattened parameter vector
+    (optax.flatten): the model has ~800 small leaves, and per-leaf optimiser
+    math costs ~40 ms/step of fixed per-op overhead on TPU — two orders of
+    magnitude more than the actual FLOPs.  Flattening collapses it to a
+    handful of vector ops.  The optimizer state (momentum trace) is stored
+    flat; set/get_learning_rate still address the inject_hyperparams state
+    at the end of the chain."""
     if cfg.optimizer == "sgd":
         base = optax.trace(decay=cfg.momentum, nesterov=cfg.nesterov)
     elif cfg.optimizer == "adam":
@@ -96,16 +132,14 @@ def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
     else:
         raise ValueError(cfg.optimizer)
     tx = optax.chain(
-        optax.masked(
-            optax.add_decayed_weights(cfg.weight_decay), decay_mask(params)
-        ),
+        _add_flat_decayed_weights(cfg.weight_decay, flat_decay_mask(params)),
         base,
         # dynamic lr: scale_by_learning_rate with injected value
         optax.inject_hyperparams(
             lambda learning_rate: optax.scale(-learning_rate)
         )(learning_rate=1e-3),
     )
-    return tx
+    return optax.flatten(tx)
 
 
 def set_learning_rate(opt_state, lr: float):
@@ -129,7 +163,22 @@ def ema_decay_schedule(updates: jnp.ndarray, decay: float = 0.9999,
 
 
 def ema_update(ema_tree, new_tree, d: jnp.ndarray):
-    """v_ema = d*v_ema + (1-d)*v for every float leaf (yolo_training.py:465-475)."""
+    """v_ema = d*v_ema + (1-d)*v for every float leaf (yolo_training.py:465-475).
+
+    When all leaves share one float dtype the update runs on a single
+    ravelled vector (2 fused vector ops instead of ~3 tiny ops per leaf —
+    per-leaf overhead dominates at ~800 leaves)."""
+    from jax.flatten_util import ravel_pytree
+
+    leaves = jax.tree.leaves(ema_tree)
+    if leaves and all(
+        jnp.issubdtype(l.dtype, jnp.floating) and l.dtype == leaves[0].dtype
+        for l in leaves
+    ):
+        flat_e, unravel = ravel_pytree(ema_tree)
+        flat_n, _ = ravel_pytree(new_tree)
+        return unravel(d * flat_e + (1.0 - d) * flat_n)
+
     def upd(e, n):
         if jnp.issubdtype(e.dtype, jnp.floating):
             return d * e + (1.0 - d) * n

@@ -17,7 +17,7 @@ import optax
 from asy_vrnet_tpu.config import Config
 from asy_vrnet_tpu.ops.losses_seg import f_score
 from asy_vrnet_tpu.train.state import TrainState
-from asy_vrnet_tpu.train.train_step import segmentation_loss
+from asy_vrnet_tpu.train.train_step import seg_onehot_of, segmentation_loss
 
 
 def build_seg_train_step(
@@ -26,7 +26,9 @@ def build_seg_train_step(
     radar_ch = cfg.model.radar_channels
 
     def train_step(state: TrainState, batch: dict):
-        image = batch["image"]
+        from asy_vrnet_tpu.data.preprocess import maybe_normalize_image_device
+
+        image = maybe_normalize_image_device(batch["image"])
         radar = batch.get("radar")
         if radar is None:
             b, h, w, _ = image.shape
@@ -37,11 +39,12 @@ def build_seg_train_step(
                 {"params": params, "batch_stats": state.batch_stats},
                 image, radar, train=True, mutable=["batch_stats"],
             )
-            loss = segmentation_loss(cfg, seg, batch["seg_target"], batch["seg_onehot"])
+            onehot = seg_onehot_of(batch, cfg.model.num_seg_classes)
+            loss = segmentation_loss(cfg, seg, batch["seg_target"], onehot)
             metrics = {
                 "loss": loss,
                 "loss_seg": loss,
-                "f_score": f_score(seg, batch["seg_onehot"]),
+                "f_score": f_score(seg, onehot),
             }
             return loss, (mutated["batch_stats"], metrics)
 

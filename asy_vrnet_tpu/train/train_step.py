@@ -23,9 +23,24 @@ import jax.numpy as jnp
 import optax
 
 from asy_vrnet_tpu.config import Config
+from asy_vrnet_tpu.data.preprocess import maybe_normalize_image_device
 from asy_vrnet_tpu.ops.losses_det import yolox_loss
 from asy_vrnet_tpu.ops.losses_seg import ce_loss, dice_loss, f_score, focal_loss
 from asy_vrnet_tpu.train.state import TrainState
+
+
+def seg_onehot_of(batch: dict, num_seg_classes: int) -> jnp.ndarray:
+    """(B,H,W,S+1) one-hot seg target with the trailing ignore channel.
+
+    Computed on device from the int map when the batch doesn't carry a
+    precomputed `seg_onehot`: the host-side one-hot is ~10 MB/sample of CPU
+    memset + H2D transfer (the dominant pipeline cost at 512²), while the
+    device one_hot fuses into the loss for free."""
+    if "seg_onehot" in batch:
+        return batch["seg_onehot"]
+    return jax.nn.one_hot(
+        batch["seg_target"], num_seg_classes + 1, dtype=jnp.float32
+    )
 
 
 def segmentation_loss(cfg: Config, seg_logits, seg_target, seg_onehot):
@@ -86,19 +101,48 @@ def _zero_frozen(tree, freeze_backbone: bool):
     return tree
 
 
-def _restore_frozen_opt(new_opt_state, old_opt_state, freeze_backbone: bool):
+def _flat_frozen_mask(params) -> jnp.ndarray:
+    """0/1 f32 vector (ravel_pytree leaf order) marking the frozen
+    neck/backbone subtree.  Built from constants, so XLA folds it at compile
+    time — zero runtime cost."""
+    from jax.flatten_util import ravel_pytree
+
+    def mark(path, p):
+        keys = [q.key for q in path if hasattr(q, "key")]
+        frozen = any(
+            keys[i] == "neck" and keys[i + 1] == "backbone"
+            for i in range(len(keys) - 1)
+        )
+        return jnp.full(p.shape, float(frozen), jnp.float32)
+
+    return ravel_pytree(jax.tree_util.tree_map_with_path(mark, params))[0]
+
+
+def _restore_frozen_opt(new_opt_state, old_opt_state, freeze_backbone: bool,
+                        params=None):
     """Keep the optimizer state of frozen params untouched.
 
-    Even with grads zeroed, add_decayed_weights inside the optax chain feeds
-    wd*param into the momentum trace; without this, unfreezing would start
-    with a stale decay-driven momentum kick the reference's freeze (which
-    accumulates nothing, train.py:439-446) never has.  Opt-state inner trees
-    mirror the param tree, so any leaf whose keypath passes through
-    neck/backbone belongs to the frozen subtree."""
+    Even with grads zeroed, the decayed-weights term inside the optax chain
+    feeds wd*param into the momentum trace; without this, unfreezing would
+    start with a stale decay-driven momentum kick the reference's freeze
+    (which accumulates nothing, train.py:439-446) never has.
+
+    Handles both state layouts: the flattened optimizer (make_optimizer wraps
+    the chain in optax.flatten, so momentum is ONE vector in ravel_pytree
+    order — select by a frozen-index mask) and unflattened tree optimizers
+    (leaves mirror the param tree — select by keypath)."""
     if not freeze_backbone:
         return new_opt_state
 
+    mask = _flat_frozen_mask(params) if params is not None else None
+
     def pick(path, new, old):
+        if (
+            mask is not None
+            and getattr(new, "ndim", None) == 1
+            and new.shape == mask.shape
+        ):
+            return jnp.where(mask > 0, old, new)
         keys = [p.key for p in path if hasattr(p, "key")]
         for i in range(len(keys) - 1):
             if keys[i] == "neck" and keys[i + 1] == "backbone":
@@ -115,14 +159,17 @@ def build_train_step(
     """Returns train_step(state, batch) -> (state, metrics); jit/pjit-able."""
 
     def train_step(state: TrainState, batch: dict):
+        image = maybe_normalize_image_device(batch["image"])
+
         def loss_fn(params, log_var):
             (det, seg), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], batch["radar"], train=True,
+                image, batch["radar"], train=True,
                 mutable=["batch_stats"],
             )
+            onehot = seg_onehot_of(batch, cfg.model.num_seg_classes)
             loss_seg = segmentation_loss(
-                cfg, seg, batch["seg_target"], batch["seg_onehot"]
+                cfg, seg, batch["seg_target"], onehot
             )
             loss_det, aux = detection_loss(cfg, det, batch)
             total = combine_losses(cfg, loss_det, loss_seg, log_var)
@@ -131,7 +178,7 @@ def build_train_step(
                 "loss_det": loss_det,
                 "loss_seg": loss_seg,
                 "num_fg": aux.num_fg,
-                "f_score": f_score(seg, batch["seg_onehot"]),
+                "f_score": f_score(seg, onehot),
             }
             return total, (mutated["batch_stats"], metrics)
 
@@ -143,7 +190,7 @@ def build_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         updates = _zero_frozen(updates, freeze_backbone)
         new_opt_state = _restore_frozen_opt(
-            new_opt_state, state.opt_state, freeze_backbone
+            new_opt_state, state.opt_state, freeze_backbone, state.params
         )
         new_params = optax.apply_updates(state.params, updates)
         if cfg.loss.multitask_mode == "uncertainty":
@@ -173,15 +220,17 @@ def build_eval_step(model, cfg: Config) -> Callable[[dict, dict], dict]:
 
     def eval_step(variables: dict, batch: dict):
         det, seg = model.apply(
-            variables, batch["image"], batch["radar"], train=False
+            variables, maybe_normalize_image_device(batch["image"]),
+            batch["radar"], train=False,
         )
-        loss_seg = segmentation_loss(cfg, seg, batch["seg_target"], batch["seg_onehot"])
+        onehot = seg_onehot_of(batch, cfg.model.num_seg_classes)
+        loss_seg = segmentation_loss(cfg, seg, batch["seg_target"], onehot)
         loss_det, aux = detection_loss(cfg, det, batch)
         return {
             "loss_det": loss_det,
             "loss_seg": loss_seg,
             "loss": loss_det + loss_seg,
-            "f_score": f_score(seg, batch["seg_onehot"]),
+            "f_score": f_score(seg, onehot),
             "num_fg": aux.num_fg,
         }
 
@@ -190,6 +239,8 @@ def build_eval_step(model, cfg: Config) -> Callable[[dict, dict], dict]:
 
 def build_forward(model) -> Callable[[dict, jnp.ndarray, jnp.ndarray], Any]:
     def forward(variables, image, radar):
-        return model.apply(variables, image, radar, train=False)
+        return model.apply(
+            variables, maybe_normalize_image_device(image), radar, train=False
+        )
 
     return forward

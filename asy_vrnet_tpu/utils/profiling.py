@@ -28,6 +28,51 @@ def time_fn(fn: Callable, *args, iters: int = 30, warmup: int = 5) -> dict:
     }
 
 
+def chained_device_time(
+    fn: Callable, *args, n: int = 5, repeats: int = 3
+) -> float:
+    """Device seconds per `fn(*args)` call via the chained-fori_loop protocol
+    (BENCH_NOTES.md): N calls are chained inside ONE jit program with a
+    data dependency between iterations (float inputs perturbed by acc*1e-12),
+    and we difference N vs 1 so host round-trip and upload costs cancel.
+
+    This is the only honest timing through a relay whose block_until_ready
+    returns early; it is also correct on directly-attached devices.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    def perturb(a, acc):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a + (acc * 1e-12).astype(a.dtype)
+        return a
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained(a, k):
+        def body(_, acc):
+            out = fn(*jax.tree.map(lambda x: perturb(x, acc), a))
+            leaves = [
+                jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree.leaves(out)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            ]
+            return acc + sum(leaves) * 1e-12
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    def run(k: int) -> float:
+        float(chained(args, k))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(chained(args, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(n) - run(1)) / (n - 1)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace context; view with TensorBoard or Perfetto."""

@@ -45,7 +45,8 @@ def test_dataset_item_shapes(synth):
     assert item["radar"].shape == (128, 96, 4)
     assert item["gt_boxes"].shape == (16, 4)
     assert item["seg_target"].shape == (128, 96)
-    assert item["seg_onehot"].shape == (128, 96, 10)
+    # one-hot is computed on device (train_step.seg_onehot_of), not shipped
+    assert "seg_onehot" not in item
     assert item["gt_valid"].any()
     # boxes are cxcywh in pixels within the input frame
     valid_boxes = item["gt_boxes"][item["gt_valid"]]
@@ -114,6 +115,23 @@ def test_normalizers():
     out = normalize_radar_minmax(radar)
     assert out.min() == pytest.approx(1e-13)
     assert out.max() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_device_normalize_matches_host():
+    """uint8 lean-pipeline images normalised on device == host normalize_image."""
+    import jax.numpy as jnp
+
+    from asy_vrnet_tpu.data.preprocess import maybe_normalize_image_device
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    dev = np.asarray(maybe_normalize_image_device(jnp.asarray(u8)))
+    host = normalize_image(u8)
+    np.testing.assert_allclose(dev, host, rtol=0, atol=1e-6)
+    # float input passes through untouched
+    f32 = host.astype(np.float32)
+    out = maybe_normalize_image_device(jnp.asarray(f32))
+    np.testing.assert_array_equal(np.asarray(out), f32)
 
 
 def test_box_conversion():

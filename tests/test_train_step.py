@@ -56,6 +56,22 @@ def test_train_step_loss_decreases(setup):
     assert int(state.step) == 8
 
 
+def test_device_onehot_matches_host_onehot(setup):
+    """Batches without seg_onehot (the lean pipeline) produce identical
+    metrics to batches carrying the host-precomputed one-hot."""
+    cfg, model, state, tx = setup
+    eval_step = jax.jit(build_eval_step(model, cfg))
+    rng = np.random.default_rng(3)
+    batch = jax.tree.map(jnp.asarray, make_batch(rng, 2, (64, 64)))
+    lean = {k: v for k, v in batch.items() if k != "seg_onehot"}
+    m_host = eval_step({"params": state.params, "batch_stats": state.batch_stats}, batch)
+    m_dev = eval_step({"params": state.params, "batch_stats": state.batch_stats}, lean)
+    for k in m_host:
+        np.testing.assert_allclose(
+            np.asarray(m_host[k]), np.asarray(m_dev[k]), rtol=0, atol=0, err_msg=k
+        )
+
+
 def test_ema_tracks_params(setup):
     cfg, model, state, tx = setup
     step = jax.jit(build_train_step(model, cfg, tx))
@@ -93,36 +109,39 @@ def test_freeze_backbone_blocks_updates(setup):
 
 def test_freeze_backbone_keeps_optimizer_state_clean(setup):
     """Frozen params must accumulate NOTHING in the optimizer state — the
-    optax chain's add_decayed_weights would otherwise feed wd*param into the
+    optax chain's decayed-weights term would otherwise feed wd*param into the
     momentum trace even with zeroed grads, giving unfreeze a stale kick the
-    reference freeze never has (round-1 ADVICE)."""
+    reference freeze never has (round-1 ADVICE).
+
+    The optimizer is flattened (make_optimizer), so the momentum trace is one
+    vector in ravel_pytree leaf order; frozen positions are located with the
+    same mask the train step uses."""
+    from asy_vrnet_tpu.train.train_step import _flat_frozen_mask
+
     cfg, model, state, tx = setup
     step = jax.jit(build_train_step(model, cfg, tx, freeze_backbone=True))
     batch = jax.tree.map(jnp.asarray, make_batch(np.random.default_rng(3), 2, (64, 64)))
     state = state.replace(opt_state=set_learning_rate(state.opt_state, 1e-2))
     s1, _ = step(state, batch)
 
-    def frozen_leaves(opt_state):
-        out = {}
-        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
-            keys = [p.key for p in path if hasattr(p, "key")]
-            if any(keys[i] == "neck" and keys[i + 1] == "backbone"
-                   for i in range(len(keys) - 1)):
-                out[tuple(str(p) for p in path)] = np.asarray(leaf)
-        return out
+    mask = np.asarray(_flat_frozen_mask(state.params)) > 0
+    assert mask.any() and not mask.all()
 
-    before = frozen_leaves(state.opt_state)
-    after = frozen_leaves(s1.opt_state)
-    assert before, "expected frozen-subtree leaves inside the opt state"
-    for k in before:
-        np.testing.assert_array_equal(before[k], after[k], err_msg=str(k))
-    # unfrozen (head) momentum must still move
+    def flat_vectors(opt_state):
+        return [
+            np.asarray(leaf)
+            for leaf in jax.tree.leaves(opt_state)
+            if getattr(leaf, "ndim", None) == 1 and leaf.shape == mask.shape
+        ]
+
+    before = flat_vectors(state.opt_state)
+    after = flat_vectors(s1.opt_state)
+    assert before, "expected a flat momentum trace inside the opt state"
     moved = False
-    for path, leaf in jax.tree_util.tree_flatten_with_path(s1.opt_state)[0]:
-        keys = [p.key for p in path if hasattr(p, "key")]
-        if "head" in keys and np.any(np.asarray(leaf) != 0):
-            moved = True
-            break
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b[mask], a[mask])
+        moved = moved or bool(np.any(a[~mask] != b[~mask]))
+    # unfrozen momentum must still move
     assert moved
 
 
