@@ -61,6 +61,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="enable rain/fog/flare weather augmentation")
     p.add_argument("--seg-only", action="store_true",
                    help="segmentation-only training (utils_seg fit variant)")
+    p.add_argument("--cache-gb", type=float, default=0.0,
+                   help="decoded-sample cache budget in GiB (0 = off); "
+                        "epochs >= 2 skip decode+letterbox for cached samples")
     return p
 
 
@@ -209,6 +212,7 @@ def main(argv=None) -> None:
             max_boxes=cfg.loss.max_boxes, seg_subdir=seg_subdir,
             augment=augment, weather=args.weather and augment,
             seed=cfg.train.seed,
+            cache_bytes=int(args.cache_gb * (1 << 30)),
         )
         return DataLoader(
             ds, cfg.train.batch_size, shuffle=shuffle, seed=cfg.train.seed,

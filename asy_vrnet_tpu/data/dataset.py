@@ -63,6 +63,8 @@ class WaterScenesDataset:
         flip_prob: float = 0.5,
         seed: int = 0,
         host_normalize: bool = False,
+        cache_bytes: int = 0,
+        radar_dtype: str = "float32",
     ):
         self.lines = [l for l in annotation_lines if l.strip()]
         self.input_shape = input_shape
@@ -91,6 +93,22 @@ class WaterScenesDataset:
         # 4x less H2D traffic and no per-pixel host float math.  True keeps
         # the reference's host-side preprocess_input (utils/utils.py:43-47).
         self.host_normalize = host_normalize
+        # Decoded-sample cache (tf.data cache() analog): stores the
+        # post-letterbox, pre-augment bundle (uint8 image, NHWC radar, uint8
+        # seg, transformed boxes) up to `cache_bytes` total.  Decode +
+        # letterbox is ~50 ms/sample of single-core CPU; with the cache,
+        # epochs >= 2 cost only augment+stack.  0 disables.  Thread-safe in
+        # the benign sense (a dict race just recomputes a sample).
+        self.cache_bytes = int(cache_bytes)
+        self._cache: dict[int, tuple] = {}
+        self._cache_used = 0
+        # 'bfloat16' halves radar H2D traffic (the largest batch tensor, ~4.2
+        # MB/sample fp32); the model computes in bf16 anyway, so only the
+        # fusion gate's global min/max sees the rounding.  Default keeps the
+        # reference's raw fp32 (utils/dataloader.py:87).
+        if radar_dtype not in ("float32", "bfloat16"):
+            raise ValueError(radar_dtype)
+        self.radar_dtype = radar_dtype
         # native C++ npz loader (GIL-free, threaded): used when the library
         # builds; transparent numpy fallback otherwise
         from asy_vrnet_tpu.data import native_io
@@ -114,9 +132,15 @@ class WaterScenesDataset:
         seg = Image.open(os.path.join(self.seg_dir, image_id + ".png"))
         return image, boxes, radar, seg, image_id
 
-    def __getitem__(self, index: int) -> dict:
+    def _decoded(self, index: int):
+        """Decode + letterbox one sample (cached when cache_bytes allows):
+        (img_u8 HWC, boxes cxcywh+cls, radar NHWC f32, seg_u8 HW, id)."""
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
+
         h, w = self.input_shape
-        image, boxes, radar, seg, image_id = self.load_raw(index % len(self))
+        image, boxes, radar, seg, image_id = self.load_raw(index)
 
         image_lb, nw, nh = letterbox_image(image, (w, h))
         seg_lb = letterbox_label(seg, (w, h))
@@ -127,14 +151,32 @@ class WaterScenesDataset:
         if self.radar_norm == "minmax":
             radar = normalize_radar_minmax(radar).astype(np.float32)
         # (4,H,W) channel-first on disk -> NHWC
-        radar_arr = np.transpose(radar, (1, 2, 0))
+        radar_arr = np.ascontiguousarray(np.transpose(radar, (1, 2, 0)))
         if radar_arr.shape[:2] != (h, w):
             raise ValueError(
                 f"radar map {radar_arr.shape} does not match input {h}x{w}"
             )
 
+        if self.radar_dtype == "bfloat16":
+            import ml_dtypes
+
+            radar_arr = radar_arr.astype(ml_dtypes.bfloat16)
+
         img_u8 = np.asarray(image_lb)
         seg_u8 = np.asarray(seg_lb)
+        bundle = (img_u8, boxes_cxcywh, radar_arr, seg_u8, image_id)
+        if self.cache_bytes:
+            nbytes = sum(a.nbytes for a in bundle[:4])
+            if self._cache_used + nbytes <= self.cache_bytes:
+                self._cache[index] = bundle
+                self._cache_used += nbytes
+        return bundle
+
+    def __getitem__(self, index: int) -> dict:
+        h, w = self.input_shape
+        img_u8, boxes_cxcywh, radar_arr, seg_u8, image_id = self._decoded(
+            index % len(self)
+        )
         if self.augment:
             from asy_vrnet_tpu.data.augment import apply_weather, flip_horizontal, hsv_jitter
 
@@ -163,11 +205,14 @@ class WaterScenesDataset:
             img_arr = normalize_image(img_u8).astype(np.float32)
         else:
             img_arr = np.ascontiguousarray(img_u8)
-        seg_arr = seg_u8.astype(np.int64)
-        seg_arr[seg_arr >= self.num_seg_classes] = self.num_seg_classes
-        # NOTE: no seg_onehot here — the train/eval steps one-hot the int map
-        # on device (train_step.seg_onehot_of), saving ~10 MB/sample of host
-        # memset and H2D transfer.
+        # clamp ignore labels to num_seg (utils/dataloader.py:92-94) — one
+        # fused pass, shipped as uint8 (4x less H2D than int32; the device
+        # one-hots it, train_step.seg_onehot_of).  No seg_onehot here.
+        seg_arr = np.minimum(seg_u8, self.num_seg_classes)
+        if seg_arr.dtype != np.uint8:
+            seg_arr = seg_arr.astype(
+                np.uint8 if self.num_seg_classes < 255 else np.int32
+            )
 
         gt_boxes = np.zeros((self.max_boxes, 4), np.float32)
         gt_classes = np.zeros((self.max_boxes,), np.int32)
@@ -184,7 +229,7 @@ class WaterScenesDataset:
             "gt_boxes": gt_boxes,
             "gt_classes": gt_classes,
             "gt_valid": gt_valid,
-            "seg_target": seg_arr.astype(np.int32),
+            "seg_target": seg_arr,
             "image_id": image_id,
         }
 
@@ -262,6 +307,16 @@ class DataLoader:
 
             q: queue.Queue = queue.Queue(maxsize=self.prefetch)
             sentinel = object()
+            stop = threading.Event()
+
+            def put(item) -> bool:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def worker():
                 # A failing sample (missing radar npz, corrupt PNG, ...) must
@@ -269,25 +324,97 @@ class DataLoader:
                 # and re-raise it in the consuming thread.
                 try:
                     for idxs in batches:
-                        q.put(load_batch(idxs))
-                    q.put(sentinel)
+                        if not put(load_batch(idxs)):
+                            return
+                    put(sentinel)
                 except BaseException as e:  # noqa: BLE001 — relayed to consumer
-                    q.put(e)
+                    put(e)
 
             t = threading.Thread(target=worker, daemon=True)
             t.start()
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    break
-                if isinstance(item, BaseException):
-                    t.join()
-                    raise item
-                yield item
-            t.join()
+            try:
+                while True:
+                    item = q.get()
+                    if item is sentinel:
+                        break
+                    if isinstance(item, BaseException):
+                        t.join()
+                        raise item
+                    yield item
+            finally:
+                # unblock the producer if the consumer stopped early
+                stop.set()
+                while not q.empty():
+                    q.get_nowait()
+                t.join()
         finally:
             if pool is not None:
                 pool.shutdown(wait=False)
+
+
+def device_prefetch(iterator, depth: int = 2, sharding=None):
+    """Wrap a batch iterator with asynchronous host->device transfer.
+
+    device_put of batch k+1..k+depth is issued from a background thread while
+    the device executes step k, hiding H2D latency behind compute (the torch
+    analogue is DataLoader pin_memory + non_blocking copies; train.py:534).
+    `sharding` distributes each batch across a mesh (parallel.shard_batch's
+    NamedSharding); None targets the default device.  image_id (host-only
+    metadata) passes through untouched."""
+    import queue as _queue
+    import threading as _threading
+
+    import jax as _jax
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    sentinel = object()
+    stop = _threading.Event()
+
+    def to_device(batch):
+        ids = batch.pop("image_id", None)
+        out = {
+            k: _jax.device_put(v, sharding) if sharding is not None
+            else _jax.device_put(v)
+            for k, v in batch.items()
+        }
+        if ids is not None:
+            out["image_id"] = ids
+        return out
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for batch in iterator:
+                if not put(to_device(dict(batch))):
+                    return
+            put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            put(e)
+
+    t = _threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():
+            q.get_nowait()
+        t.join()
 
 
 def read_annotation_file(path: str) -> list[str]:

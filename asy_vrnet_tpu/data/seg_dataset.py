@@ -65,13 +65,14 @@ class SegOnlyDataset:
             img = normalize_image(np.asarray(jpg)).astype(np.float32)
         else:
             img = np.ascontiguousarray(np.asarray(jpg))
-        seg = np.asarray(png).astype(np.int64)
-        seg[seg >= self.num_classes] = self.num_classes
+        seg = np.minimum(np.asarray(png), self.num_classes)
+        if seg.dtype != np.uint8:
+            seg = seg.astype(np.uint8 if self.num_classes < 255 else np.int32)
         # seg_onehot intentionally omitted — computed on device
         # (train_step.seg_onehot_of) to keep the host pipeline lean.
         return {
             "image": img,
-            "seg_target": seg.astype(np.int32),
+            "seg_target": seg,
             "image_id": name,
         }
 

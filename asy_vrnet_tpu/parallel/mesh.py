@@ -62,6 +62,10 @@ def build_parallel_train_step(train_step, mesh: Mesh):
         train_step,
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, rep),
+        # the previous state is dead after each step; donating it lets XLA
+        # update params/momentum/EMA in place instead of allocating fresh
+        # buffers every step
+        donate_argnums=(0,),
     )
 
 

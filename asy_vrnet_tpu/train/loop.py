@@ -11,23 +11,19 @@ import jax
 import jax.numpy as jnp
 
 from asy_vrnet_tpu.config import Config
-from asy_vrnet_tpu.data.dataset import DataLoader
+from asy_vrnet_tpu.data.dataset import DataLoader, device_prefetch
 from asy_vrnet_tpu.parallel.mesh import (
+    batch_sharding,
     build_parallel_eval_step,
     build_parallel_train_step,
     make_mesh,
     replicate_state,
-    shard_batch,
 )
 from asy_vrnet_tpu.train.callbacks import DetEvalCallback, LossHistory, SegEvalCallback
 from asy_vrnet_tpu.train.checkpoint import save_checkpoint, save_weights
 from asy_vrnet_tpu.train.optim import make_lr_schedule, set_learning_rate
 from asy_vrnet_tpu.train.state import TrainState, eval_variables
 from asy_vrnet_tpu.train.train_step import build_eval_step, build_train_step
-
-
-def _device_batch(batch: dict) -> dict:
-    return {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
 
 
 def _mean_metrics(metric_dicts: list[dict]) -> dict:
@@ -92,8 +88,9 @@ def fit(
         ev_step = build_parallel_eval_step(ev_step, mesh)
         state = replicate_state(state, mesh)
     else:
-        step_frozen = jax.jit(step_frozen)
-        step_unfrozen = jax.jit(step_unfrozen)
+        # donate the state: params/momentum/EMA update in place
+        step_frozen = jax.jit(step_frozen, donate_argnums=(0,))
+        step_unfrozen = jax.jit(step_unfrozen, donate_argnums=(0,))
         ev_step = jax.jit(ev_step)
 
     best_val = float("inf")
@@ -106,10 +103,9 @@ def fit(
 
         t0 = time.time()
         train_metrics = []
-        for batch in loader:
-            db = _device_batch(batch)
-            if mesh is not None:
-                db = shard_batch(db, mesh)
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        for db in device_prefetch(iter(loader), sharding=sharding):
+            db.pop("image_id", None)
             state, metrics = step_fn(state, db)
             train_metrics.append(metrics)
         tm = _mean_metrics(train_metrics)
@@ -118,10 +114,8 @@ def fit(
         if val_loader is not None:
             val_metrics = []
             variables = eval_variables(state, use_ema=cfg.optim.ema)
-            for batch in val_loader:
-                db = _device_batch(batch)
-                if mesh is not None:
-                    db = shard_batch(db, mesh)
+            for db in device_prefetch(iter(val_loader), sharding=sharding):
+                db.pop("image_id", None)
                 val_metrics.append(ev_step(variables, db))
             vm = _mean_metrics(val_metrics)
 

@@ -117,6 +117,28 @@ def test_normalizers():
     assert out.max() == pytest.approx(1.0, abs=1e-6)
 
 
+def test_decoded_sample_cache(synth):
+    lines = read_annotation_file(synth["annotation_path"])
+    mk = lambda cb: WaterScenesDataset(
+        lines, (128, 96), 4, 9, synth["radar_root"], synth["seg_dataset_path"],
+        max_boxes=16, cache_bytes=cb,
+    )
+    plain, cached = mk(0), mk(1 << 30)
+    a, b = plain[1], cached[1]
+    assert not plain._cache and cached._cache  # budget honoured
+    c = cached[1]  # second read comes from the cache
+    for k in a:
+        if k == "image_id":
+            assert a[k] == b[k] == c[k]
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            np.testing.assert_array_equal(a[k], c[k], err_msg=k)
+    # tiny budget: nothing cached
+    tiny = mk(10)
+    tiny[0]
+    assert not tiny._cache
+
+
 def test_device_normalize_matches_host():
     """uint8 lean-pipeline images normalised on device == host normalize_image."""
     import jax.numpy as jnp

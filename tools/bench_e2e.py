@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--images", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--pull-every", type=int, default=8)
+    ap.add_argument("--cache-gb", type=float, default=2.0,
+                    help="decoded-sample cache budget (0 = off)")
+    ap.add_argument("--radar-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="radar wire dtype (bfloat16 halves the largest "
+                         "H2D tensor; fp32 is reference parity)")
     ap.add_argument("--root", type=str, default="/tmp/asyvrnet_e2e_data")
     args = ap.parse_args()
 
@@ -45,6 +51,7 @@ def main() -> None:
     from asy_vrnet_tpu.data.dataset import (
         DataLoader,
         WaterScenesDataset,
+        device_prefetch,
         read_annotation_file,
     )
     from asy_vrnet_tpu.data.synthetic import write_synthetic_voc_dataset
@@ -72,6 +79,8 @@ def main() -> None:
         lines, (hw, hw), cfg.model.num_classes, cfg.model.num_seg_classes,
         paths["radar_root"], paths["seg_dataset_path"],
         max_boxes=cfg.loss.max_boxes,
+        cache_bytes=int(args.cache_gb * (1 << 30)),
+        radar_dtype=args.radar_dtype,
     )
     loader = DataLoader(ds, args.batch, shuffle=True, prefetch=2)
     steps_per_epoch = len(loader)
@@ -133,9 +142,8 @@ def main() -> None:
         nonlocal state
         t0 = time.perf_counter()
         last = None
-        for i, batch in enumerate(loader):
-            batch.pop("image_id", None)
-            db = {k: jnp.asarray(v) for k, v in batch.items()}
+        for i, db in enumerate(device_prefetch(iter(loader))):
+            db.pop("image_id", None)
             state, metrics = jit_step(state, db)
             last = metrics
             if (i + 1) % pull_every == 0:

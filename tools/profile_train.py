@@ -170,6 +170,22 @@ def main() -> None:
         _, acc = jax.lax.fori_loop(0, n, body, (state_, jnp.float32(0.0)))
         return acc
 
+    # grad + trivial param update (no optimiser, no EMA): isolates the cost of
+    # params CHANGING between chained iterations (bf16 casts + fused-kernel
+    # weight folding re-run per step; loop-invariant in the grad_* stages)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained_step_noopt(state_, b, n):
+        def body(k, carry):
+            p, acc = carry
+            val, g = jax.value_and_grad(
+                lambda q: l_full(q, state_, perturbed(b, acc))
+            )(p)
+            p = jax.tree.map(lambda x, gg: x - 1e-12 * gg, p, g)
+            return (p, acc + val * 1e-12)
+
+        p, acc = jax.lax.fori_loop(0, n, body, (state_.params, jnp.float32(0.0)))
+        return acc + jnp.sum(jax.tree.leaves(p)[0].astype(jnp.float32)) * 1e-12
+
     stages = {
         "fwd_eval": mk_scalar_stage(s_fwd_eval),
         "fwd_train": mk_scalar_stage(s_fwd_train),
@@ -181,6 +197,7 @@ def main() -> None:
         "grad_det": mk_scalar_stage(mk_grad_stage(l_det)),
         "grad_full": mk_scalar_stage(mk_grad_stage(l_full)),
         "step_full": chained_step,
+        "step_noopt": chained_step_noopt,
     }
     if args.stages:
         keep = set(args.stages.split(","))
