@@ -24,7 +24,9 @@ import time
 
 import numpy as np
 
-BATCH = 64
+# 128 is the single-chip throughput sweet spot (64: 811 fps, 128: 927 fps,
+# 256: 882 fps — BENCH_NOTES.md round-2 table)
+BATCH = 128
 N_CHAIN = 5
 REPEATS = 3
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
