@@ -212,6 +212,12 @@ class ShuffleAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         g = self.groups
+        if c % (2 * g):
+            # torch broadcast-fails identically (shuffle_attention.py:26-33);
+            # the per-channel formulation below would otherwise silently run
+            raise TypeError(
+                f"ShuffleAttention: {c} channels not divisible by 2*groups={2 * g}"
+            )
         c2g = c // (2 * g)
         # params mirror the torch module: cweight/cbias/sweight/sbias of shape
         # (c//(2G),) plus the GroupNorm's own per-channel gamma/beta.
@@ -222,21 +228,40 @@ class ShuffleAttention(nn.Module):
         gn_scale = self.param("gn_scale", nn.initializers.ones, (c2g,), jnp.float32)
         gn_bias = self.param("gn_bias", nn.initializers.zeros, (c2g,), jnp.float32)
 
-        xg = x.reshape(b, h, w, g, 2, c2g)
-        x0 = xg[..., 0, :]  # (B,H,W,G,c2g) channel-attention half
-        x1 = xg[..., 1, :]  # spatial-attention half
+        # The (G, 2, c2g) grouping is just an interpretation of the channel
+        # index (channel = gi*2*c2g + hi*c2g + ci), and both attention halves
+        # reduce to per-CHANNEL (H,W) statistics — so the whole module runs
+        # in the native NHWC layout with per-channel gates.  The round-1
+        # reshape/slice/stack formulation forced ~256 MB f32 layout copies
+        # per instance at stage-1 resolution (profiler trace, BENCH_NOTES).
+        import numpy as np
 
-        # channel attention
-        pooled = jnp.mean(x0, axis=(1, 2), keepdims=True)  # (B,1,1,G,c2g)
-        x0 = x0 * jax.nn.sigmoid(cweight * pooled + cbias)
+        within = np.arange(c) % (2 * c2g)
+        ci = within % c2g
+        is_spatial = (within // c2g).astype(bool)           # hi: 0=channel-att
 
-        # spatial attention: per-channel GroupNorm over (H,W) only
-        # (torch GroupNorm(c2g, c2g): one group per channel).
-        mean = jnp.mean(x1, axis=(1, 2), keepdims=True)
-        var = jnp.var(x1, axis=(1, 2), keepdims=True)
-        x1n = (x1 - mean) * jax.lax.rsqrt(var + 1e-5)
-        x1n = x1n * gn_scale + gn_bias
-        x1 = x1 * jax.nn.sigmoid(sweight * x1n + sbias)
+        def spread(p):
+            # tiny constant-index gather of a (c2g,) param to (C,), fp32
+            return p[ci]
 
-        out = jnp.stack([x0, x1], axis=4).reshape(b, h, w, c)
-        return channel_shuffle(out, 2)
+        f32 = jnp.float32
+        xf = x.astype(f32)
+        # one-pass moments: sum and sum-of-squares fuse into a single HBM
+        # read (jnp.var's two-pass form costs an extra full pass at 512²)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)      # (B,1,1,C)
+        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+
+        # Both gates collapse to one per-channel affine-in-x logit:
+        #   spatial half:  sigmoid(sw*GN(x)+sb) = sigmoid(a*x + t),
+        #     a = sw*gs*rsqrt(var+eps),  t = sb + sw*gb - a*mean
+        #   channel half:  sigmoid(cw*mean + cb)  (a = 0, t = that logit)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        a_sp = spread(sweight) * spread(gn_scale) * rstd
+        t_sp = spread(sbias) + spread(sweight) * spread(gn_bias) - a_sp * mean
+        t_ch = spread(cweight) * mean + spread(cbias)
+
+        sel = jnp.asarray(is_spatial)
+        a = jnp.where(sel, a_sp, 0.0).astype(x.dtype)        # (B,1,1,C)
+        t = jnp.where(sel, t_sp, t_ch).astype(x.dtype)
+        gate = jax.nn.sigmoid(x * a + t)
+        return channel_shuffle(x * gate, 2)
