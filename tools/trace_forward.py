@@ -28,10 +28,20 @@ def summarize(trace_dir: str, iters: int, top: int, show_copies: bool) -> None:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             if "TPU" in str(e["args"].get("name")):
                 dev_pid = e["pid"]
-    ev = [
+    allev = [
         e for e in d["traceEvents"]
         if e.get("ph") == "X" and e.get("pid") == dev_pid
-        and not e["name"].startswith("jit_")
+    ]
+    # numeric-named spans are the per-dispatch parent regions: the honest
+    # per-step device time (the chained-loop protocol overstates a step that
+    # carries the full TrainState — see BENCH_NOTES round 2)
+    parents = [e["dur"] for e in allev if e["name"].isdigit()]
+    if parents:
+        ms = sum(parents) / len(parents) / 1e3
+        print(f"per-dispatch device span: {ms:.2f} ms ({len(parents)} dispatches)")
+    ev = [
+        e for e in allev
+        if not e["name"].startswith("jit_") and not e["name"].isdigit()
     ]
     total = sum(e["dur"] for e in ev)
     print(f"device ops total: {total / iters / 1e3:.2f} ms/iter ({len(ev)} events)")
@@ -47,17 +57,18 @@ def summarize(trace_dir: str, iters: int, top: int, show_copies: bool) -> None:
         print(f"{nm:<44}{us / iters / 1e3:9.2f} {cnt[nm] // iters:6d}")
 
     if show_copies:
-        agg = collections.Counter()
-        info = {}
-        for e in ev:
-            if e["name"].startswith("copy"):
-                agg[e["name"]] += e["dur"]
-                a = e.get("args", {})
-                src = (a.get("source_stack") or a.get("source") or "").split("\n")[0]
-                info[e["name"]] = f'{a.get("shape_with_layout", "?")}  {src}'
-        print("\nlargest copies:")
-        for nm, us in agg.most_common(15):
-            print(f"{us / iters / 1e3:7.2f} ms  {info[nm]}")
+        for kind, label in (("copy", "largest copies"), ("fusion", "largest fusions")):
+            agg = collections.Counter()
+            info = {}
+            for e in ev:
+                if klass(e["name"]) == kind or e["name"].startswith(kind + "."):
+                    agg[e["name"]] += e["dur"]
+                    a = e.get("args", {})
+                    src = (a.get("source_stack") or a.get("source") or "").split("\n")[0]
+                    info[e["name"]] = f'{a.get("shape_with_layout", "?")[:60]}  {src}'
+            print(f"\n{label}:")
+            for nm, us in agg.most_common(15):
+                print(f"{us / iters / 1e3:7.2f} ms  {info[nm]}")
 
 
 def main() -> None:
