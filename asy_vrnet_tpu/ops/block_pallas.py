@@ -37,6 +37,7 @@ import numpy as np
 from asy_vrnet_tpu.ops.cluster_pallas import (
     _cluster_fused,
     _mixer_core,
+    _mixer_core_bwd,
     _group_w,
     _region_mask,
     _replication_and_masks,
@@ -244,14 +245,261 @@ def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
     return out, (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta)
 
 
+def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
+                      wv_ref, bv_ref, w2_ref, pool_ref, rep_ref, hmask_ref,
+                      headsel_ref, rmask_ref, dxn_ref, dwf_ref, dbf_ref,
+                      dwv_ref, dbv_ref, dw2_ref, db2_ref, dab_ref, *,
+                      heads, m, gw, rw):
+    """Phase-1 fused backward of the mixer half.
+
+    Rematerialises xn -> feat/value -> mixed in VMEM (same casts as the
+    forward kernel), computes dmixed, runs the shared cluster bwd core, and
+    emits dxn plus folded-weight gradient partials accumulated across each
+    batch row's tiles (GSPMD-partitionable; XLA sums over batch).
+
+    Precision note: because the remat runs the SAME Mosaic dots as the
+    production forward kernel, the rematerialised argmax assignment matches
+    the actual forward bit-for-bit in bf16 (verified vs the old XLA-remat
+    vjp on TPU: all grads within bf16 rounding).  In f32-on-TPU debug mode
+    the MXU's reduced internal precision can flip near-tie assignments
+    between XLA and Mosaic remats — this kernel sides with the forward
+    kernel, which is the consistent choice; exact-f32 parity tests run on
+    CPU (interpret) where all paths agree."""
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    blk = x_ref[0]                                   # (rh, wt, C)
+    rh, wt, c = blk.shape
+    nt = rh * wt
+    mxu = blk.dtype
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    xf = blk.reshape(nt, c).astype(f32)
+    gout = g_ref[0].reshape(nt, c).astype(f32)
+    xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
+    xnb = xn.astype(mxu)
+
+    feat = (jax.lax.dot_general(
+        xnb, wf_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bf_ref[0]).astype(mxu)                       # (Nt, inner)
+    value = (jax.lax.dot_general(
+        xnb, wv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bv_ref[0]).astype(mxu)
+
+    mixed = _mixer_core(
+        feat, value, alpha, beta,
+        pool_ref[:], rep_ref[:], hmask_ref[:], headsel_ref[:], rmask_ref[:],
+        heads=heads, m=m, gw=gw, rw=rw, wt=wt,
+    )                                                # (Nt, inner) f32
+
+    gb = gout.astype(mxu)
+    dmixed = jax.lax.dot_general(                    # g @ w2_eff^T -> (Nt, inner)
+        gb, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+
+    dfeat, dvalue, d_alpha, d_beta = _mixer_core_bwd(
+        feat, value, dmixed, alpha, beta,
+        pool_ref[:], rep_ref[:], hmask_ref[:], headsel_ref[:], rmask_ref[:],
+        heads=heads, m=m, gw=gw, rw=rw,
+    )
+
+    dfb = dfeat.astype(mxu)
+    dvb = dvalue.astype(mxu)
+    dxn = jax.lax.dot_general(                       # dfeat @ wf^T + dvalue @ wv^T
+        dfb, wf_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        dvb, wv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+    dxn_ref[0] = dxn.reshape(rh, wt, c).astype(dxn_ref.dtype)
+
+    pdwf = jax.lax.dot_general(
+        xnb, dfb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (C, inner)
+    pdwv = jax.lax.dot_general(
+        xnb, dvb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    pdw2 = jax.lax.dot_general(
+        mixed.astype(mxu), gb, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (inner, C)
+    pdbf = jnp.sum(dfeat, axis=0, keepdims=True)     # (1, inner)
+    pdbv = jnp.sum(dvalue, axis=0, keepdims=True)
+    pdb2 = jnp.sum(gout, axis=0, keepdims=True)      # (1, C)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    dab_ref[0, 0] = jnp.where(
+        lane == 0, d_alpha, jnp.where(lane == 1, d_beta, 0.0)
+    )
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _init():
+        dwf_ref[0] = pdwf
+        dbf_ref[0] = pdbf
+        dwv_ref[0] = pdwv
+        dbv_ref[0] = pdbv
+        dw2_ref[0] = pdw2
+        db2_ref[0] = pdb2
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        dwf_ref[0] += pdwf
+        dbf_ref[0] += pdbf
+        dwv_ref[0] += pdwv
+        dbv_ref[0] += pdbv
+        dw2_ref[0] += pdw2
+        db2_ref[0] += pdb2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "fold_h", "fold_w", "proposal_h", "proposal_w",
+                     "interpret"),
+)
+def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
+                      heads, fold_h, fold_w, proposal_h, proposal_w,
+                      interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    inner = wf_e.shape[1]
+    rh, rw = h // fold_h, w // fold_w
+    n = rh * rw
+    m = proposal_h * proposal_w
+    gw = _group_w(fold_w, n)
+    wt = gw * rw
+    nt = rh * wt
+    mb = gw * m
+    hb = gw * heads * m
+    fwg = fold_w // gw
+    f32 = jnp.float32
+    mxu = x.dtype
+
+    pool_t = jnp.asarray(
+        _tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw), mxu)
+    rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, inner)
+    rmask = jnp.asarray(_region_mask(gw, heads, m, rh, rw))
+    params = jnp.stack([alpha.astype(f32), beta.astype(f32)])
+
+    kernel = functools.partial(_mixer_bwd_kernel, heads=heads, m=m, gw=gw, rw=rw)
+    tile = pl.BlockSpec((1, rh, wt, c), lambda bi, i, j: (bi, i, j, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda bi, i, j: (bi,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, fold_h, fwg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile, tile,
+            const((c, inner)), const((1, inner)),
+            const((c, inner)), const((1, inner)),
+            const((inner, c)),
+            const((nt, mb)), const((hb, mb)), const((hb, inner)),
+            const((inner, heads)), const((hb, nt)),
+        ],
+        out_specs=[
+            tile,
+            acc((c, inner)), acc((1, inner)),
+            acc((c, inner)), acc((1, inner)),
+            acc((inner, c)), acc((1, c)),
+            pl.BlockSpec((1, 1, 1, 128), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, f32),
+            jax.ShapeDtypeStruct((b, c, inner), f32),
+            jax.ShapeDtypeStruct((b, 1, inner), f32),
+            jax.ShapeDtypeStruct((b, c, inner), f32),
+            jax.ShapeDtypeStruct((b, 1, inner), f32),
+            jax.ShapeDtypeStruct((b, inner, c), f32),
+            jax.ShapeDtypeStruct((b, 1, c), f32),
+            jax.ShapeDtypeStruct((b, fold_h, fwg, 128), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * fold_h * fwg * (
+                2 * nt * c * 2 * inner * 3          # fc remat + dxn + dW
+                + 2 * nt * inner * (mb + 2 * hb) * 2
+                + 2 * nt * inner * c * 2
+            ),
+            bytes_accessed=b * h * w * c * (2 * x.dtype.itemsize + 4),
+            transcendentals=2 * b * fold_h * fwg * hb * nt,
+        ),
+        interpret=interpret,
+    )(params, stats, x.astype(mxu), g.astype(mxu),
+      wf_e.astype(mxu), bf_e[None].astype(f32),
+      wv_e.astype(mxu), bv_e[None].astype(f32),
+      w2_e.astype(mxu),
+      pool_t, jnp.asarray(rep_np), jnp.asarray(hmask_np),
+      jnp.asarray(headsel_np), rmask)
+
+
 def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
                            res, g):
-    _, pullback = jax.vjp(
-        lambda *p: _mixer_block_ref(*p, heads, fold_h, fold_w, proposal_h,
-                                    proposal_w),
-        *res,
+    """Fused backward of the mixer half: one Pallas kernel (remat + cluster
+    bwd core + folded-weight grad accumulators) + XLA GroupNorm backward +
+    trace-time grad unfolding.  Replaces jax.vjp through the ref composition
+    (~55 ms/step of XLA remat+grad chains at bs=64, BENCH_NOTES)."""
+    x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta = res
+    interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    stats = gn1_stats(x)
+    wf_e, bf_e = _fold_in(gn_scale, gn_bias, wf, bf)
+    wv_e, bv_e = _fold_in(gn_scale, gn_bias, wv, bv)
+    w2_e, _ = _fold_out(w2, b2, ls1)
+
+    (dxn, dwfp, dbfp, dwvp, dbvp, dw2p, db2p, dab) = _mixer_bwd_pallas(
+        x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
+        jnp.asarray(alpha), jnp.asarray(beta),
+        heads, fold_h, fold_w, proposal_h, proposal_w, interpret=interpret,
     )
-    return pullback(g)
+    dwf_e = jnp.sum(dwfp, axis=0)
+    dbf_e = jnp.sum(dbfp, axis=(0, 1))
+    dwv_e = jnp.sum(dwvp, axis=0)
+    dbv_e = jnp.sum(dbvp, axis=(0, 1))
+    dw2_e = jnp.sum(dw2p, axis=0)
+    db2_e = jnp.sum(db2p, axis=(0, 1))
+    d_alpha = jnp.sum(dab[..., 0]).astype(jnp.asarray(alpha).dtype)
+    d_beta = jnp.sum(dab[..., 1]).astype(jnp.asarray(beta).dtype)
+
+    # unfold: w_eff = gs[:,None]*w, b_eff = gb@w + b (both fc1 and fc_v);
+    # w2_eff = w2*ls1, b2_eff = b2*ls1
+    gsf = gn_scale.astype(f32)
+    gbf = gn_bias.astype(f32)
+    wff = wf.astype(f32)
+    wvf = wv.astype(f32)
+    w2f = w2.astype(f32)
+    dwf = gsf[:, None] * dwf_e + gbf[:, None] * dbf_e[None, :]
+    dwv = gsf[:, None] * dwv_e + gbf[:, None] * dbv_e[None, :]
+    dgs = jnp.sum(dwf_e * wff, axis=1) + jnp.sum(dwv_e * wvf, axis=1)
+    dgb = wff @ dbf_e + wvf @ dbv_e
+    dw2 = dw2_e * ls1.astype(f32)[None, :]
+    db2 = db2_e * ls1.astype(f32)
+    dls1 = jnp.sum(dw2_e * w2f, axis=0) + db2_e * b2.astype(f32)
+
+    # GroupNorm(1) input gradient + residual (see _fused_mlp_block_bwd)
+    mu = stats[:, 0][:, None, None, None]
+    rstd = stats[:, 1][:, None, None, None]
+    xn = (x.astype(f32) - mu) * rstd
+    m1 = jnp.mean(dxn, axis=(1, 2, 3), keepdims=True)
+    m2 = jnp.mean(dxn * xn, axis=(1, 2, 3), keepdims=True)
+    dx = (g.astype(f32) + rstd * (dxn - m1 - xn * m2)).astype(x.dtype)
+
+    cast = lambda v, p: v.astype(jnp.asarray(p).dtype)
+    return (dx, cast(dgs, gn_scale), cast(dgb, gn_bias), cast(dwf, wf),
+            cast(dbf_e, bf), cast(dwv, wv), cast(dbv_e, bv), cast(dw2, w2),
+            cast(db2, b2), cast(dls1, ls1), d_alpha, d_beta)
 
 
 fused_mixer_block.defvjp(_fused_mixer_block_fwd, _fused_mixer_block_bwd)
@@ -352,6 +600,123 @@ def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False):
       w2.astype(mxu), b2[None].astype(jnp.float32))
 
 
+def _gelu_grad(z):
+    """d/dz of exact GELU: Phi(z) + z*phi(z) with the polynomial erf."""
+    cdf = 0.5 * (1.0 + _erf_poly(z * 0.7071067811865476))
+    pdf = jnp.exp(-0.5 * z * z) * 0.3989422804014327
+    return cdf + z * pdf
+
+
+def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
+                    dxn_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    """Phase-1 fused backward of the MLP half.
+
+    Per tile: rematerialise xn/z1/h in VMEM, compute dh -> dz1 -> dxn and the
+    folded-weight gradient partials.  Weight-grad partials accumulate across
+    the row tiles of each batch element (output blocks revisit (bi,0,0)), so
+    the outputs stay batch-sharded and GSPMD-partitionable; XLA sums over
+    batch afterwards.  The GroupNorm input gradient (a cross-tile reduction)
+    is left to XLA — it fuses the remaining elementwise chain well."""
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    blk = x_ref[0]                                  # (th, W, C)
+    th, w, c = blk.shape
+    nt = th * w
+    mxu = blk.dtype
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    xf = blk.reshape(nt, c).astype(f32)
+    gout = g_ref[0].reshape(nt, c).astype(f32)
+    xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
+    xnb = xn.astype(mxu)
+    z1 = jax.lax.dot_general(
+        xnb, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + b1_ref[0]
+    hact = _gelu_exactish(z1)
+
+    gb = gout.astype(mxu)
+    dh = jax.lax.dot_general(                        # dy @ w2^T -> (nt, hid)
+        gb, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+    dz1 = dh * _gelu_grad(z1)
+    dz1b = dz1.astype(mxu)
+    dxn = jax.lax.dot_general(                       # dz1 @ w1^T -> (nt, C)
+        dz1b, w1_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+    dxn_ref[0] = dxn.reshape(th, w, c).astype(dxn_ref.dtype)
+
+    pdw1 = jax.lax.dot_general(                      # xn^T @ dz1 -> (C, hid)
+        xnb, dz1b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    pdw2 = jax.lax.dot_general(                      # h^T @ dy -> (hid, C)
+        hact.astype(mxu), gb, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    pdb1 = jnp.sum(dz1, axis=0, keepdims=True)       # (1, hid)
+    pdb2 = jnp.sum(gout, axis=0, keepdims=True)      # (1, C)
+
+    @pl.when(ti == 0)
+    def _init():
+        dw1_ref[0] = pdw1
+        db1_ref[0] = pdb1
+        dw2_ref[0] = pdw2
+        db2_ref[0] = pdb2
+
+    @pl.when(ti != 0)
+    def _accum():
+        dw1_ref[0] += pdw1
+        db1_ref[0] += pdb1
+        dw2_ref[0] += pdw2
+        db2_ref[0] += pdb2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    hidden = w1_eff.shape[1]
+    th = _mlp_rows(h, w)
+    mxu = x.dtype
+    f32 = jnp.float32
+    tile = pl.BlockSpec((1, th, w, c), lambda bi, ti: (bi, ti, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda bi, ti: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec((1,) + shape, lambda bi, ti: (bi,) + (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    nt = th * w
+    return pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile, tile,
+            const((c, hidden)), const((1, hidden)), const((hidden, c)),
+        ],
+        out_specs=[
+            tile,
+            acc((c, hidden)), acc((1, hidden)), acc((hidden, c)), acc((1, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, f32),
+            jax.ShapeDtypeStruct((b, c, hidden), f32),
+            jax.ShapeDtypeStruct((b, 1, hidden), f32),
+            jax.ShapeDtypeStruct((b, hidden, c), f32),
+            jax.ShapeDtypeStruct((b, 1, c), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * (h // th) * 8 * nt * c * hidden,
+            bytes_accessed=b * h * w * c * (2 * x.dtype.itemsize + 4),
+            transcendentals=2 * b * h * w * hidden,
+        ),
+        interpret=interpret,
+    )(stats, x.astype(mxu), g.astype(mxu),
+      w1_eff.astype(mxu), b1_eff[None].astype(f32), w2_eff.astype(mxu))
+
+
 def _mlp_block_ref(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
     f32 = jnp.float32
     mxu = x.dtype
@@ -386,8 +751,52 @@ def _fused_mlp_block_fwd(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
 
 
 def _fused_mlp_block_bwd(res, g):
-    _, pullback = jax.vjp(_mlp_block_ref, *res)
-    return pullback(g)
+    """Fused backward: phase-1 Pallas kernel (dxn + folded-weight grad
+    accumulators, one read of x and g) + XLA phase 2 (GroupNorm(1) input
+    gradient — a per-sample cross-tile reduction — fused with the residual
+    add) + trace-time unfolding of the folded-weight grads to the original
+    parameters.  Replaces jax.vjp through the ref composition, which cost
+    ~35 ms/step at bs=64 in unfused XLA remat+grad chains (BENCH_NOTES)."""
+    x, gn_scale, gn_bias, w1, b1, w2, b2, ls2 = res
+    interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    stats = gn1_stats(x)
+    w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
+    w2_e, _ = _fold_out(w2, b2, ls2)
+
+    dxn, dw1p, db1p, dw2p, db2p = _mlp_bwd_pallas(
+        x, g, stats, w1_e, b1_e, w2_e, interpret=interpret
+    )
+    dw1_e = jnp.sum(dw1p, axis=0)                    # (C, hid)
+    db1_e = jnp.sum(db1p, axis=(0, 1))               # (hid,)
+    dw2_e = jnp.sum(dw2p, axis=0)                    # (hid, C)
+    db2_e = jnp.sum(db2p, axis=(0, 1))               # (C,)
+
+    # unfold to the original params:
+    #   w1_eff = gs[:,None]*w1,  b1_eff = gb@w1 + b1,
+    #   w2_eff = w2*ls,          b2_eff = b2*ls
+    w1f = w1.astype(f32)
+    w2f = w2.astype(f32)
+    dw1 = gn_scale.astype(f32)[:, None] * dw1_e + gn_bias.astype(f32)[:, None] * db1_e[None, :]
+    dgs = jnp.sum(dw1_e * w1f, axis=1)
+    dgb = w1f @ db1_e
+    db1 = db1_e
+    dw2 = dw2_e * ls2.astype(f32)[None, :]
+    db2 = db2_e * ls2.astype(f32)
+    dls2 = jnp.sum(dw2_e * w2f, axis=0) + db2_e * b2.astype(f32)
+
+    # phase 2: GroupNorm(1) input gradient + the residual path
+    #   dx = g + rstd * (dxn - mean(dxn) - xn * mean(dxn*xn))
+    mu = stats[:, 0][:, None, None, None]
+    rstd = stats[:, 1][:, None, None, None]
+    xn = (x.astype(f32) - mu) * rstd
+    m1 = jnp.mean(dxn, axis=(1, 2, 3), keepdims=True)
+    m2 = jnp.mean(dxn * xn, axis=(1, 2, 3), keepdims=True)
+    dx = (g.astype(f32) + rstd * (dxn - m1 - xn * m2)).astype(x.dtype)
+
+    cast = lambda v, p: v.astype(p.dtype)
+    return (dx, cast(dgs, gn_scale), cast(dgb, gn_bias), cast(dw1, w1),
+            cast(db1, b1), cast(dw2, w2), cast(db2, b2), cast(dls2, ls2))
 
 
 fused_mlp_block.defvjp(_fused_mlp_block_fwd, _fused_mlp_block_bwd)

@@ -306,31 +306,22 @@ def _cluster_nhwc_pallas(
     )(params, feat, value, pool_t, rep, hmask, headsel, rmask)
 
 
-def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
-                        hmask_ref, headsel_ref, rmask_ref, dx_ref, dv_ref,
-                        dab_ref, *, heads: int, m: int, gw: int, rw: int):
-    """Fused backward: recompute the forward's sim/mask (rematerialisation in
-    VMEM), then propagate the cotangent through dispatch -> aggregate ->
-    sigmoid -> cosine-sim -> normalisations -> pooling, all as dense matmuls
-    against the same precomputed mask matrices.  The hard assignment is
-    treated as a constant (identical to autograd through argmax/one_hot).
-    Emits per-program partial sums for d(alpha), d(beta)."""
-    alpha = params_ref[0]
-    beta = params_ref[1]
+def _mixer_core_bwd(xb, vb, g, alpha, beta, pool_t, rep, hmask, headsel,
+                    rmask, *, heads: int, m: int, gw: int, rw: int):
+    """Shared fused-backward body over flattened (Nt, C) tokens.
+
+    Recomputes the forward's sim/mask (rematerialisation in VMEM), then
+    propagates the cotangent through dispatch -> aggregate -> sigmoid ->
+    cosine-sim -> normalisations -> pooling as dense matmuls against the
+    same precomputed mask matrices.  The hard assignment is treated as a
+    constant (identical to autograd through argmax/one_hot).  Returns
+    (dx (Nt,C) f32, dv (Nt,C) f32, d_alpha scalar, d_beta scalar).
+    Reused by the standalone cluster bwd kernel and the fused mixer-block
+    bwd kernel (ops/block_pallas.py)."""
     f32 = jnp.float32
-    blk = x_ref[0]
-    rh, wt, c = blk.shape
-    nt = rh * wt
-    xb = blk.reshape(nt, c)
-    vb = v_ref[0].reshape(nt, c)
+    nt, c = xb.shape
     x = xb.astype(f32)
     v = vb.astype(f32)
-    g = g_ref[0].reshape(nt, c).astype(f32)
-    pool_t = pool_ref[:]
-    rep = rep_ref[:]
-    hmask = hmask_ref[:]
-    headsel = headsel_ref[:]
-    rmask = rmask_ref[:]
     seg = gw * heads
 
     # ---- recompute forward (pooling with the same mxu-dtype operands as
@@ -355,7 +346,7 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
     # (bf16 MXU operands when the model runs bf16): near-tie tokens must not
     # flip their argmax proposal between forward and backward, or gradients
     # would flow through a different assignment than the actual output used.
-    mxu = blk.dtype
+    mxu = xb.dtype
     raw = jax.lax.dot_general(cn.astype(mxu), xn.astype(mxu),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)       # (Hb, Nt)
@@ -402,11 +393,8 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
     d_s = d_sim * mask
     sig_grad = d_s * s * (1.0 - s)
     d_raw = sig_grad * alpha
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    dab_ref[0, 0] = jnp.where(
-        lane == 0, jnp.sum(sig_grad * raw),
-        jnp.where(lane == 1, jnp.sum(sig_grad), 0.0),
-    )
+    d_alpha = jnp.sum(sig_grad * raw)
+    d_beta = jnp.sum(sig_grad)
 
     # raw = cn @ xn^T
     d_cn = jnp.dot(d_raw, xn, preferred_element_type=f32)       # (Hb, C)
@@ -425,7 +413,29 @@ def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
     d_c_pre = jax.lax.dot_general(rep, d_c_rep * hmask, (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)   # (Mb, C)
     dx = dx + jnp.dot(pool_f32, d_c_pre, preferred_element_type=f32)
+    return dx, dv, d_alpha, d_beta
 
+
+def _cluster_bwd_kernel(params_ref, x_ref, v_ref, g_ref, pool_ref, rep_ref,
+                        hmask_ref, headsel_ref, rmask_ref, dx_ref, dv_ref,
+                        dab_ref, *, heads: int, m: int, gw: int, rw: int):
+    """Standalone cluster bwd kernel: the shared core + per-program dab
+    partials packed into lanes 0/1 of a (1,128) row."""
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    blk = x_ref[0]
+    rh, wt, c = blk.shape
+    nt = rh * wt
+    dx, dv, d_alpha, d_beta = _mixer_core_bwd(
+        blk.reshape(nt, c), v_ref[0].reshape(nt, c),
+        g_ref[0].reshape(nt, c).astype(jnp.float32), alpha, beta,
+        pool_ref[:], rep_ref[:], hmask_ref[:], headsel_ref[:], rmask_ref[:],
+        heads=heads, m=m, gw=gw, rw=rw,
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    dab_ref[0, 0] = jnp.where(
+        lane == 0, d_alpha, jnp.where(lane == 1, d_beta, 0.0)
+    )
     dx_ref[0] = dx.reshape(rh, wt, c).astype(dx_ref.dtype)
     dv_ref[0] = dv.reshape(rh, wt, c).astype(dv_ref.dtype)
 
