@@ -315,6 +315,9 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
         dvb, wv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
     )
     dxn_ref[0] = dxn.reshape(rh, wt, c).astype(dxn_ref.dtype)
+    # per-sample GN-backward partials (lanes 2/3 of the dab row):
+    s1 = jnp.sum(dxn)
+    s2 = jnp.sum(dxn * xn)
 
     pdwf = jax.lax.dot_general(
         xnb, dfb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
@@ -332,7 +335,9 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     dab_ref[0, 0] = jnp.where(
-        lane == 0, d_alpha, jnp.where(lane == 1, d_beta, 0.0)
+        lane == 0, d_alpha,
+        jnp.where(lane == 1, d_beta,
+                  jnp.where(lane == 2, s1, jnp.where(lane == 3, s2, 0.0))),
     )
 
     first = (i == 0) & (j == 0)
@@ -418,7 +423,7 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(x.shape, f32),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((b, c, inner), f32),
             jax.ShapeDtypeStruct((b, 1, inner), f32),
             jax.ShapeDtypeStruct((b, c, inner), f32),
@@ -472,6 +477,8 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
     db2_e = jnp.sum(db2p, axis=(0, 1))
     d_alpha = jnp.sum(dab[..., 0]).astype(jnp.asarray(alpha).dtype)
     d_beta = jnp.sum(dab[..., 1]).astype(jnp.asarray(beta).dtype)
+    s1 = jnp.sum(dab[..., 2], axis=(1, 2))           # (B,) per-sample GN sums
+    s2 = jnp.sum(dab[..., 3], axis=(1, 2))
 
     # unfold: w_eff = gs[:,None]*w, b_eff = gb@w + b (both fc1 and fc_v);
     # w2_eff = w2*ls1, b2_eff = b2*ls1
@@ -488,13 +495,15 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
     db2 = db2_e * ls1.astype(f32)
     dls1 = jnp.sum(dw2_e * w2f, axis=0) + db2_e * b2.astype(f32)
 
-    # GroupNorm(1) input gradient + residual (see _fused_mlp_block_bwd)
+    # GroupNorm(1) input gradient + residual (see _fused_mlp_block_bwd),
+    # with the per-sample sums already accumulated by the kernel
+    n = float(x.shape[1] * x.shape[2] * x.shape[3])
     mu = stats[:, 0][:, None, None, None]
     rstd = stats[:, 1][:, None, None, None]
     xn = (x.astype(f32) - mu) * rstd
-    m1 = jnp.mean(dxn, axis=(1, 2, 3), keepdims=True)
-    m2 = jnp.mean(dxn * xn, axis=(1, 2, 3), keepdims=True)
-    dx = (g.astype(f32) + rstd * (dxn - m1 - xn * m2)).astype(x.dtype)
+    m1 = (s1 / n)[:, None, None, None]
+    m2 = (s2 / n)[:, None, None, None]
+    dx = (g.astype(f32) + rstd * (dxn.astype(f32) - m1 - xn * m2)).astype(x.dtype)
 
     cast = lambda v, p: v.astype(jnp.asarray(p).dtype)
     return (dx, cast(dgs, gn_scale), cast(dgb, gn_bias), cast(dwf, wf),
@@ -608,7 +617,7 @@ def _gelu_grad(z):
 
 
 def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
-                    dxn_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+                    dxn_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dsum_ref):
     """Phase-1 fused backward of the MLP half.
 
     Per tile: rematerialise xn/z1/h in VMEM, compute dh -> dz1 -> dxn and the
@@ -644,6 +653,8 @@ def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
     dxn = jax.lax.dot_general(                       # dz1 @ w1^T -> (nt, C)
         dz1b, w1_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
     )
+    # dxn ships in the compute dtype (halves its HBM traffic in bf16); the
+    # GroupNorm-backward sums are accumulated here in f32 first
     dxn_ref[0] = dxn.reshape(th, w, c).astype(dxn_ref.dtype)
 
     pdw1 = jax.lax.dot_general(                      # xn^T @ dz1 -> (C, hid)
@@ -655,6 +666,12 @@ def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
     )
     pdb1 = jnp.sum(dz1, axis=0, keepdims=True)       # (1, hid)
     pdb2 = jnp.sum(gout, axis=0, keepdims=True)      # (1, C)
+    # per-sample GN-backward partials: lane0 = sum dxn, lane1 = sum dxn*xn
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    psum = jnp.where(
+        lane == 0, jnp.sum(dxn),
+        jnp.where(lane == 1, jnp.sum(dxn * xn), 0.0),
+    )
 
     @pl.when(ti == 0)
     def _init():
@@ -662,6 +679,7 @@ def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
         db1_ref[0] = pdb1
         dw2_ref[0] = pdw2
         db2_ref[0] = pdb2
+        dsum_ref[0] = psum
 
     @pl.when(ti != 0)
     def _accum():
@@ -669,6 +687,7 @@ def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
         db1_ref[0] += pdb1
         dw2_ref[0] += pdw2
         db2_ref[0] += pdb2
+        dsum_ref[0] += psum
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -699,13 +718,15 @@ def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False):
         out_specs=[
             tile,
             acc((c, hidden)), acc((1, hidden)), acc((hidden, c)), acc((1, c)),
+            acc((1, 128)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(x.shape, f32),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((b, c, hidden), f32),
             jax.ShapeDtypeStruct((b, 1, hidden), f32),
             jax.ShapeDtypeStruct((b, hidden, c), f32),
             jax.ShapeDtypeStruct((b, 1, c), f32),
+            jax.ShapeDtypeStruct((b, 1, 128), f32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=b * (h // th) * 8 * nt * c * hidden,
@@ -764,7 +785,7 @@ def _fused_mlp_block_bwd(res, g):
     w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
     w2_e, _ = _fold_out(w2, b2, ls2)
 
-    dxn, dw1p, db1p, dw2p, db2p = _mlp_bwd_pallas(
+    dxn, dw1p, db1p, dw2p, db2p, dsump = _mlp_bwd_pallas(
         x, g, stats, w1_e, b1_e, w2_e, interpret=interpret
     )
     dw1_e = jnp.sum(dw1p, axis=0)                    # (C, hid)
@@ -785,14 +806,16 @@ def _fused_mlp_block_bwd(res, g):
     db2 = db2_e * ls2.astype(f32)
     dls2 = jnp.sum(dw2_e * w2f, axis=0) + db2_e * b2.astype(f32)
 
-    # phase 2: GroupNorm(1) input gradient + the residual path
+    # phase 2: GroupNorm(1) input gradient + the residual path, with the
+    # per-sample sums already accumulated by the kernel:
     #   dx = g + rstd * (dxn - mean(dxn) - xn * mean(dxn*xn))
+    n = float(x.shape[1] * x.shape[2] * x.shape[3])
     mu = stats[:, 0][:, None, None, None]
     rstd = stats[:, 1][:, None, None, None]
     xn = (x.astype(f32) - mu) * rstd
-    m1 = jnp.mean(dxn, axis=(1, 2, 3), keepdims=True)
-    m2 = jnp.mean(dxn * xn, axis=(1, 2, 3), keepdims=True)
-    dx = (g.astype(f32) + rstd * (dxn - m1 - xn * m2)).astype(x.dtype)
+    m1 = (dsump[:, 0, 0] / n)[:, None, None, None]
+    m2 = (dsump[:, 0, 1] / n)[:, None, None, None]
+    dx = (g.astype(f32) + rstd * (dxn.astype(f32) - m1 - xn * m2)).astype(x.dtype)
 
     cast = lambda v, p: v.astype(p.dtype)
     return (dx, cast(dgs, gn_scale), cast(dgb, gn_bias), cast(dw1, w1),
