@@ -239,10 +239,20 @@ def fused_mixer_block(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
 def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
                            alpha, beta, heads, fold_h, fold_w, proposal_h,
                            proposal_w):
-    out = fused_mixer_block(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
-                            alpha, beta, heads, fold_h, fold_w, proposal_h,
-                            proposal_w)
-    return out, (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta)
+    # compute stats once and thread them through the residuals — the bwd
+    # would otherwise redo a full reduce pass over x per block
+    interpret = jax.default_backend() != "tpu"
+    stats = gn1_stats(x)
+    wf_e, bf_e = _fold_in(gn_scale, gn_bias, wf, bf)
+    wv_e, bv_e = _fold_in(gn_scale, gn_bias, wv, bv)
+    w2_e, b2_e = _fold_out(w2, b2, ls1)
+    out = _mixer_block_pallas(
+        x, stats, wf_e, bf_e, wv_e, bv_e, w2_e, b2_e,
+        jnp.asarray(alpha), jnp.asarray(beta),
+        heads, fold_h, fold_w, proposal_h, proposal_w, interpret=interpret,
+    )
+    return out, (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha,
+                 beta, stats)
 
 
 def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
@@ -456,10 +466,9 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
     bwd core + folded-weight grad accumulators) + XLA GroupNorm backward +
     trace-time grad unfolding.  Replaces jax.vjp through the ref composition
     (~55 ms/step of XLA remat+grad chains at bs=64, BENCH_NOTES)."""
-    x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta = res
+    x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta, stats = res
     interpret = jax.default_backend() != "tpu"
     f32 = jnp.float32
-    stats = gn1_stats(x)
     wf_e, bf_e = _fold_in(gn_scale, gn_bias, wf, bf)
     wv_e, bv_e = _fold_in(gn_scale, gn_bias, wv, bv)
     w2_e, _ = _fold_out(w2, b2, ls1)
@@ -767,8 +776,14 @@ def fused_mlp_block(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
 
 
 def _fused_mlp_block_fwd(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
-    out = fused_mlp_block(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2)
-    return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2)
+    # stats threaded through the residuals (see _fused_mixer_block_fwd)
+    interpret = jax.default_backend() != "tpu"
+    stats = gn1_stats(x)
+    w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
+    w2_e, b2_e = _fold_out(w2, b2, ls2)
+    out = _mlp_block_pallas(x, stats, w1_e, b1_e, w2_e, b2_e,
+                            interpret=interpret)
+    return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats)
 
 
 def _fused_mlp_block_bwd(res, g):
@@ -778,10 +793,9 @@ def _fused_mlp_block_bwd(res, g):
     add) + trace-time unfolding of the folded-weight grads to the original
     parameters.  Replaces jax.vjp through the ref composition, which cost
     ~35 ms/step at bs=64 in unfused XLA remat+grad chains (BENCH_NOTES)."""
-    x, gn_scale, gn_bias, w1, b1, w2, b2, ls2 = res
+    x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats = res
     interpret = jax.default_backend() != "tpu"
     f32 = jnp.float32
-    stats = gn1_stats(x)
     w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
     w2_e, _ = _fold_out(w2, b2, ls2)
 
