@@ -17,8 +17,8 @@ import jax
 
 from asy_vrnet_tpu.models.layers import DropPath, GroupNorm1, Mlp
 from asy_vrnet_tpu.ops.block_pallas import (
-    fused_mixer_block,
-    fused_mlp_block,
+    fused_mixer_block_stats,
+    fused_mlp_block_pre,
     mixer_block_supported,
     mlp_block_supported,
 )
@@ -120,7 +120,10 @@ class ClusterBlock(nn.Module):
             ones = jnp.ones((self.dim,), jnp.float32)
             ls1 = p["layer_scale_1"] if self.use_layer_scale else ones
             ls2 = p["layer_scale_2"] if self.use_layer_scale else ones
-            x = fused_mixer_block(
+            # stats-chained pair: the mixer kernel reduces its output's GN
+            # moments in VMEM and the MLP half consumes them, skipping one
+            # full-tensor reduce pass per block
+            x, stats = fused_mixer_block_stats(
                 x,
                 p["norm1"]["gn"]["scale"], p["norm1"]["gn"]["bias"],
                 tm["fc1"]["kernel"][0, 0], tm["fc1"]["bias"],
@@ -131,8 +134,8 @@ class ClusterBlock(nn.Module):
                 self.proposal_h, self.proposal_w,
             )
             mp = p["mlp"]
-            return fused_mlp_block(
-                x,
+            return fused_mlp_block_pre(
+                x, stats,
                 p["norm2"]["gn"]["scale"], p["norm2"]["gn"]["bias"],
                 mp["fc1"]["kernel"][0, 0], mp["fc1"]["bias"],
                 mp["fc2"]["kernel"][0, 0], mp["fc2"]["bias"],

@@ -85,7 +85,8 @@ def mixer_block_supported(shape, *, heads, head_dim, fold_h, fold_w,
 
 def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
                         bv_ref, w2_ref, b2_ref, pool_ref, rep_ref, hmask_ref,
-                        headsel_ref, rmask_ref, out_ref, *, heads, m, gw, rw):
+                        headsel_ref, rmask_ref, out_ref, osum_ref, *, heads,
+                        m, gw, rw):
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -98,6 +99,8 @@ def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
     x = blk.reshape(nt, c)
     xf = x.astype(f32)
     bi = pl.program_id(0)
+    gi = pl.program_id(1)
+    gj = pl.program_id(2)
     mu = stats_ref[bi, 0]
     rstd = stats_ref[bi, 1]
     xn = (xf - mu) * rstd                       # GN1 sans affine (folded)
@@ -122,6 +125,22 @@ def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
     ) + b2_ref[0]                               # (Nt, C)
     out = xf + y
     out_ref[0] = out.reshape(rh, wt, c).astype(out_ref.dtype)
+    # per-sample moments of the OUTPUT (as stored, i.e. after the dtype
+    # cast), so the chained MLP half can skip its own GN-stats reduce pass
+    ob = out.astype(out_ref.dtype).astype(f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    psum = jnp.where(
+        lane == 0, jnp.sum(ob), jnp.where(lane == 1, jnp.sum(ob * ob), 0.0)
+    )
+    first = (gi == 0) & (gj == 0)
+
+    @pl.when(first)
+    def _init():
+        osum_ref[0] = psum
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        osum_ref[0] += psum
 
 
 @functools.partial(
@@ -177,8 +196,15 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
             const((inner, heads)), const((hb, nt)),
         ],
-        out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_specs=[
+            tile,
+            pl.BlockSpec((1, 1, 128), lambda bi, i, j: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=b * fold_h * (fold_w // gw) * flops_per,
             bytes_accessed=b * h * w * c * x.dtype.itemsize * 2,
@@ -224,16 +250,32 @@ def fused_mixer_block(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
                       proposal_w):
     """Mixer half of ClusterBlock as ONE Pallas kernel (+ the XLA stats
     reduction).  Weight layouts: wf/wv (C, inner), w2 (inner, C)."""
+    out, _ = _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2,
+                             ls1, alpha, beta, heads, fold_h, fold_w,
+                             proposal_h, proposal_w, gn1_stats(x))
+    return out
+
+
+def _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha,
+                    beta, heads, fold_h, fold_w, proposal_h, proposal_w,
+                    stats):
+    """Shared forward: returns (out, out_stats) where out_stats are the GN
+    statistics of the OUTPUT, reduced inside the kernel (the chained MLP
+    half consumes them instead of re-reading out from HBM)."""
     interpret = jax.default_backend() != "tpu"
-    stats = gn1_stats(x)
     wf_e, bf_e = _fold_in(gn_scale, gn_bias, wf, bf)
     wv_e, bv_e = _fold_in(gn_scale, gn_bias, wv, bv)
     w2_e, b2_e = _fold_out(w2, b2, ls1)
-    return _mixer_block_pallas(
+    out, osum = _mixer_block_pallas(
         x, stats, wf_e, bf_e, wv_e, bv_e, w2_e, b2_e,
         jnp.asarray(alpha), jnp.asarray(beta),
         heads, fold_h, fold_w, proposal_h, proposal_w, interpret=interpret,
     )
+    n = float(x.shape[1] * x.shape[2] * x.shape[3])
+    mu = osum[:, 0, 0] / n
+    var = osum[:, 0, 1] / n - jnp.square(mu)
+    out_stats = jnp.stack([mu, jax.lax.rsqrt(var + _GN_EPS)], axis=-1)
+    return out, out_stats
 
 
 def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
@@ -241,16 +283,10 @@ def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
                            proposal_w):
     # compute stats once and thread them through the residuals — the bwd
     # would otherwise redo a full reduce pass over x per block
-    interpret = jax.default_backend() != "tpu"
     stats = gn1_stats(x)
-    wf_e, bf_e = _fold_in(gn_scale, gn_bias, wf, bf)
-    wv_e, bv_e = _fold_in(gn_scale, gn_bias, wv, bv)
-    w2_e, b2_e = _fold_out(w2, b2, ls1)
-    out = _mixer_block_pallas(
-        x, stats, wf_e, bf_e, wv_e, bv_e, w2_e, b2_e,
-        jnp.asarray(alpha), jnp.asarray(beta),
-        heads, fold_h, fold_w, proposal_h, proposal_w, interpret=interpret,
-    )
+    out, _ = _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2,
+                             ls1, alpha, beta, heads, fold_h, fold_w,
+                             proposal_h, proposal_w, stats)
     return out, (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha,
                  beta, stats)
 
@@ -521,6 +557,47 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
 
 
 fused_mixer_block.defvjp(_fused_mixer_block_fwd, _fused_mixer_block_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
+def fused_mixer_block_stats(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
+                            alpha, beta, heads, fold_h, fold_w, proposal_h,
+                            proposal_w):
+    """Mixer half returning (out, gn_stats_of_out) for stats chaining:
+    the kernel reduces the output moments in VMEM, so the chained MLP half
+    (fused_mlp_block_pre) skips its own full-pass GN-stats reduce.
+
+    INTERNAL protocol: the stats output must only feed fused_mlp_block_pre,
+    whose backward returns a zero cotangent for it (the stats' dependence on
+    x is reconstructed analytically inside each half's GroupNorm backward)."""
+    return _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
+                           alpha, beta, heads, fold_h, fold_w, proposal_h,
+                           proposal_w, gn1_stats(x))
+
+
+def _fused_mixer_block_stats_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2,
+                                 b2, ls1, alpha, beta, heads, fold_h, fold_w,
+                                 proposal_h, proposal_w):
+    stats = gn1_stats(x)
+    out, ostats = _mixer_fwd_impl(
+        x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta,
+        heads, fold_h, fold_w, proposal_h, proposal_w, stats,
+    )
+    return (out, ostats), (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
+                           alpha, beta, stats)
+
+
+def _fused_mixer_block_stats_bwd(heads, fold_h, fold_w, proposal_h,
+                                 proposal_w, res, g):
+    gout, _gstats = g  # stats cotangent is zero under the chaining protocol
+    return _fused_mixer_block_bwd(
+        heads, fold_h, fold_w, proposal_h, proposal_w, res, gout
+    )
+
+
+fused_mixer_block_stats.defvjp(
+    _fused_mixer_block_stats_fwd, _fused_mixer_block_stats_bwd
+)
 
 
 # ---------------------------------------------------------------------------
@@ -837,3 +914,30 @@ def _fused_mlp_block_bwd(res, g):
 
 
 fused_mlp_block.defvjp(_fused_mlp_block_fwd, _fused_mlp_block_bwd)
+
+
+@jax.custom_vjp
+def fused_mlp_block_pre(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
+    """MLP half consuming pre-reduced GN stats of x (stats chaining — see
+    fused_mixer_block_stats).  `stats` MUST equal gn1_stats(x) numerically;
+    its cotangent is zero because the GroupNorm backward reconstructs the
+    stats' dependence on x analytically."""
+    interpret = jax.default_backend() != "tpu"
+    w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
+    w2_e, b2_e = _fold_out(w2, b2, ls2)
+    return _mlp_block_pallas(x, stats, w1_e, b1_e, w2_e, b2_e,
+                             interpret=interpret)
+
+
+def _fused_mlp_block_pre_fwd(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
+    out = fused_mlp_block_pre(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2)
+    return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats)
+
+
+def _fused_mlp_block_pre_bwd(res, g):
+    stats = res[-1]
+    dx, dgs, dgb, dw1, db1, dw2, db2, dls2 = _fused_mlp_block_bwd(res, g)
+    return dx, jnp.zeros_like(stats), dgs, dgb, dw1, db1, dw2, db2, dls2
+
+
+fused_mlp_block_pre.defvjp(_fused_mlp_block_pre_fwd, _fused_mlp_block_pre_bwd)
