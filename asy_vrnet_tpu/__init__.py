@@ -15,6 +15,15 @@ if _plat:
 
         if _jax.config.jax_platforms != _plat:
             _jax.config.update("jax_platforms", _plat)
+        if _plat != "cpu":
+            # The pinned platform name can go stale (e.g. the TPU tunnel
+            # registered as "axon" in one image and plain "tpu" in the next).
+            # Probe it; fall back to automatic selection if it can't init.
+            try:
+                _jax.local_devices()
+            except RuntimeError:
+                _jax.config.update("jax_platforms", "")
+                _os.environ["JAX_PLATFORMS"] = ""
     except Exception:
         pass
 del _os, _plat

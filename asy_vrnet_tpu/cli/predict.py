@@ -14,7 +14,13 @@ import os
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="predict",
-                   choices=["predict", "fps", "dir_predict", "heatmap", "map_txt", "video"])
+                   choices=["predict", "fps", "dir_predict", "heatmap",
+                            "map_txt", "video", "export"])
+    p.add_argument("--export-path", default="model_data/asy_vrnet.stablehlo",
+                   help="export mode: output artifact path")
+    p.add_argument("--export-batch", type=int, default=1)
+    p.add_argument("--export-raw", action="store_true",
+                   help="export mode: raw forward only (no decode/NMS)")
     p.add_argument("--video", help="input video path (video mode)")
     p.add_argument("--video-out", default="", help="output video path (video mode)")
     p.add_argument("--image", help="input image path (or dir for dir_predict)")
@@ -137,6 +143,19 @@ def main(argv=None) -> None:
         if writer is not None:
             writer.release()
         print(f"processed {frame_idx} frames" + (f" -> {args.video_out}" if args.video_out else ""))
+    elif args.mode == "export":
+        # reference predict.py mode "export_onnx" (:24,170-180) — TPU-native
+        # equivalent: StableHLO with BOTH inputs (the reference's ONNX export
+        # is broken on the dual-input model, yolo.py:353-389)
+        from asy_vrnet_tpu.infer.export import export_stablehlo
+
+        path = export_stablehlo(
+            det.model, cfg, det.variables, args.export_path,
+            batch_size=args.export_batch,
+            with_postprocess=not args.export_raw,
+            conf_thres=args.conf, nms_thres=args.nms_iou,
+        )
+        print(f"exported StableHLO graph -> {path}")
     elif args.mode == "map_txt":
         from asy_vrnet_tpu.data.dataset import _ID_PATTERN
 

@@ -102,6 +102,12 @@ class WaterScenesDataset:
         self.cache_bytes = int(cache_bytes)
         self._cache: dict[int, tuple] = {}
         self._cache_used = 0
+        # __getitem__ runs on the loader thread pool: the budget
+        # check-then-insert must be atomic or concurrent misses overshoot
+        # cache_bytes.  The decode itself stays outside the lock.
+        import threading
+
+        self._cache_lock = threading.Lock()
         # 'bfloat16' halves radar H2D traffic (the largest batch tensor, ~4.2
         # MB/sample fp32); the model computes in bf16 anyway, so only the
         # fusion gate's global min/max sees the rounding.  Default keeps the
@@ -167,9 +173,13 @@ class WaterScenesDataset:
         bundle = (img_u8, boxes_cxcywh, radar_arr, seg_u8, image_id)
         if self.cache_bytes:
             nbytes = sum(a.nbytes for a in bundle[:4])
-            if self._cache_used + nbytes <= self.cache_bytes:
-                self._cache[index] = bundle
-                self._cache_used += nbytes
+            with self._cache_lock:
+                if (
+                    index not in self._cache
+                    and self._cache_used + nbytes <= self.cache_bytes
+                ):
+                    self._cache[index] = bundle
+                    self._cache_used += nbytes
         return bundle
 
     def __getitem__(self, index: int) -> dict:

@@ -70,8 +70,14 @@ def yolox_loss(
         assign.matched_gt, gt_boxes.shape[1], dtype=jnp.float32
     )                                                        # (B, A, G)
 
-    # regression: IoU^2 loss on positives against their matched GT box
-    matched_boxes = jnp.einsum("bag,bgk->bak", match_onehot, gt_boxes)
+    # regression: IoU^2 loss on positives against their matched GT box.
+    # precision=HIGHEST: TPU default matmul precision truncates fp32 operands
+    # to bf16, which would put ~0.4% error on the looked-up box coordinates —
+    # these lookup matmuls must stay exact per the losses-fp32 policy.
+    matched_boxes = jnp.einsum(
+        "bag,bgk->bak", match_onehot, gt_boxes,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     loss_iou = jnp.sum(iou_loss_squared(bbox_preds, matched_boxes) * fg)
 
     # objectness: BCE over all anchors, target = fg mask
@@ -80,7 +86,10 @@ def yolox_loss(
     # classification: BCE on positives, soft target = one_hot * matched IoU
     gt_cls_onehot = jax.nn.one_hot(gt_classes, c, dtype=jnp.float32)  # (B,G,C)
     cls_target = (
-        jnp.einsum("bag,bgc->bac", match_onehot, gt_cls_onehot)
+        jnp.einsum(
+            "bag,bgc->bac", match_onehot, gt_cls_onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         * assign.pred_iou[..., None]
     )
     loss_cls = jnp.sum(

@@ -52,7 +52,12 @@ def _weighted_ce_elementwise(
     if cls_weights is None:
         w = jnp.ones_like(nll)
     else:
-        w = (onehot @ cls_weights.astype(logp.dtype)).astype(nll.dtype)
+        # precision=HIGHEST: TPU default matmul precision would bf16-round
+        # the class weights (~0.4%) — keep the fp32-loss policy exact.
+        w = jnp.matmul(
+            onehot, cls_weights.astype(logp.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(nll.dtype)
     nll = jnp.where(valid, w * nll, 0.0)
     w = jnp.where(valid, w, 0.0)
     return nll, w

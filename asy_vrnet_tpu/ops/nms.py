@@ -2,16 +2,20 @@
 
 `torchvision.ops.batched_nms` (utils/utils_bbox.py:124) has no XLA analogue;
 this module implements greedy class-aware NMS with fully static shapes so it
-jits and fuses into the inference graph:
+jits and fuses into the inference graph.
 
-  1. take the top-K score candidates (static K),
-  2. build the K x K IoU matrix once (two small matmul-shaped reductions),
-  3. sequential greedy suppression as a lax.scan over candidates (each step is
-     a vectorised row update, so the scan is K steps of VPU work, not K^2
-     scalar ops).
+Algorithm: `max_out` rounds of select-and-suppress over ALL anchors — each
+round takes the highest-score live anchor, emits it, and kills every
+same-class anchor with IoU strictly above the threshold.  This is exactly
+greedy descending-score NMS (the first `max_out` kept boxes of the full
+torchvision result), processes every conf-passing box with NO candidate cap
+(the eval callback feeds all 5376 anchors at conf 0.05, utils/callbacks.py:
+199-205), and needs O(A) memory and max_out*A work instead of a KxK IoU
+matrix.
 
 Matches torchvision semantics: strictly-greater-than-threshold suppression,
-descending score order, per-class separation via the IoU mask.
+descending score order (ties broken by lowest index, like a stable sort),
+per-class separation via the class-equality mask.
 """
 from __future__ import annotations
 
@@ -20,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from asy_vrnet_tpu.ops.boxes import pairwise_iou_xyxy
+from asy_vrnet_tpu.ops.boxes import pairwise_iou_xyxy  # noqa: F401 (oracle use)
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "num_candidates"))
@@ -31,45 +35,54 @@ def nms_fixed(
     valid: jnp.ndarray,      # (A,) bool — pre-filter (conf threshold)
     iou_threshold: float,
     max_out: int = 100,
-    num_candidates: int = 512,
+    num_candidates: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy class-aware NMS; returns (indices (max_out,), keep_mask (max_out,)).
 
     Suppressed/invalid slots have keep_mask False; indices index into the
-    original (A,) arrays.
+    original (A,) arrays.  `num_candidates` is an OPTIONAL explicit top-k
+    pre-filter (purely a speed knob; results match the uncapped path whenever
+    it exceeds the number of conf-passing boxes); default None = all anchors,
+    the reference's eval semantics.
     """
     a = boxes.shape[0]
-    k = min(num_candidates, a)
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    masked_scores = jnp.where(valid, scores, neg_inf)
-    top_scores, order = jax.lax.top_k(masked_scores, k)       # descending
-    cand_boxes = boxes[order]
-    cand_classes = classes[order]
-    cand_valid = top_scores > neg_inf
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+    live = jnp.where(valid, scores.astype(jnp.float32), neg_inf)
 
-    iou = pairwise_iou_xyxy(cand_boxes, cand_boxes)
-    same_class = cand_classes[:, None] == cand_classes[None, :]
-    suppress = (iou > iou_threshold) & same_class             # (K, K)
+    if num_candidates is not None and num_candidates < a:
+        # keep only the top-k scores live (explicit, opt-in cap)
+        kth = jax.lax.top_k(live, num_candidates)[0][-1]
+        rank_ok = (live > kth) | (
+            (live == kth)
+            & (jnp.cumsum(live == kth) <= num_candidates
+               - jnp.sum(live > kth))
+        )
+        live = jnp.where(rank_ok, live, neg_inf)
 
-    def step(keep, i):
-        # candidate i survives if valid and not suppressed by a kept earlier box
-        killed = jnp.any(suppress[:, i] & keep & (jnp.arange(k) < i))
-        keep_i = cand_valid[i] & ~killed
-        return keep.at[i].set(keep_i), keep_i
+    arange_a = jnp.arange(a)
+    x1, y1, x2, y2 = (boxes.astype(jnp.float32)[:, i] for i in range(4))
+    areas = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
 
-    keep, _ = jax.lax.scan(step, jnp.zeros((k,), bool), jnp.arange(k))
+    def step(live, _):
+        i = jnp.argmax(live)
+        ok = live[i] > neg_inf
+        # IoU of the selected box against every anchor (one VPU row)
+        bx1, by1, bx2, by2 = boxes[i].astype(jnp.float32)
+        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+        inter = iw * ih
+        barea = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
+        iou_row = inter / jnp.maximum(areas + barea - inter, 1e-16)
+        kill = ((iou_row > iou_threshold) & (classes == classes[i])) | (
+            arange_a == i
+        )
+        live = jnp.where(ok & kill, neg_inf, live)
+        return live, (i.astype(jnp.int32), ok)
 
-    # compact the kept candidates to the front, preserving score order
-    kept_rank = jnp.cumsum(keep) - 1
-    out_idx = jnp.zeros((max_out,), jnp.int32)
-    out_keep = jnp.zeros((max_out,), bool)
-    in_range = keep & (kept_rank < max_out)
-    out_idx = out_idx.at[jnp.where(in_range, kept_rank, max_out)].set(
-        order.astype(jnp.int32), mode="drop"
+    _, (out_idx, out_keep) = jax.lax.scan(
+        step, live, None, length=max_out
     )
-    out_keep = out_keep.at[jnp.where(in_range, kept_rank, max_out)].set(
-        True, mode="drop"
-    )
+    out_idx = jnp.where(out_keep, out_idx, 0)
     return out_idx, out_keep
 
 
@@ -79,7 +92,7 @@ def non_max_suppression(
     conf_thres: float = 0.5,
     nms_thres: float = 0.4,
     max_out: int = 100,
-    num_candidates: int = 512,
+    num_candidates: int | None = None,
 ):
     """Batched class-aware NMS over decoded predictions.
 

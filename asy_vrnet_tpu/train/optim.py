@@ -142,18 +142,56 @@ def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
     return optax.flatten(tx)
 
 
+def _find_inject_state(opt_state):
+    """Locate the InjectHyperparamsState carrying `learning_rate` anywhere in
+    the optimizer-state structure (don't assume the chain's tuple layout —
+    reordering the optax chain must not silently break LR control)."""
+    if hasattr(opt_state, "hyperparams") and "learning_rate" in getattr(
+        opt_state, "hyperparams", {}
+    ):
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for sub in opt_state:
+            found = _find_inject_state(sub)
+            if found is not None:
+                return found
+    return None
+
+
+def _replace_inject_state(opt_state, new_inner):
+    if hasattr(opt_state, "hyperparams") and "learning_rate" in getattr(
+        opt_state, "hyperparams", {}
+    ):
+        return new_inner
+    if isinstance(opt_state, tuple):
+        replaced = tuple(_replace_inject_state(sub, new_inner) for sub in opt_state)
+        if hasattr(opt_state, "_fields"):
+            return type(opt_state)(*replaced)
+        return replaced
+    return opt_state
+
+
+def injected_learning_rate(opt_state) -> jnp.ndarray:
+    """The current injected LR as a traced scalar (jit-safe)."""
+    inner = _find_inject_state(opt_state)
+    if inner is None:
+        raise ValueError("no inject_hyperparams(learning_rate) state found")
+    return inner.hyperparams["learning_rate"]
+
+
 def set_learning_rate(opt_state, lr: float):
     """Set the injected learning rate in the optimiser state."""
-    # the inject_hyperparams state is the last element of the chain state
-    inner = opt_state[-1]
+    inner = _find_inject_state(opt_state)
+    if inner is None:
+        raise ValueError("no inject_hyperparams(learning_rate) state found")
     new_inner = inner._replace(
         hyperparams={**inner.hyperparams, "learning_rate": jnp.asarray(lr, jnp.float32)}
     )
-    return opt_state[:-1] + (new_inner,)
+    return _replace_inject_state(opt_state, new_inner)
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state[-1].hyperparams["learning_rate"])
+    return float(injected_learning_rate(opt_state))
 
 
 def ema_decay_schedule(updates: jnp.ndarray, decay: float = 0.9999,

@@ -135,13 +135,28 @@ def _restore_frozen_opt(new_opt_state, old_opt_state, freeze_backbone: bool,
         return new_opt_state
 
     mask = _flat_frozen_mask(params) if params is not None else None
+    # Flat per-parameter accumulator fields of the optax states make_optimizer
+    # can produce (trace: optax.trace / TraceState; mu, nu: scale_by_adam /
+    # ScaleByAdamState).  The flat-mask branch applies ONLY to these — a
+    # future 1-D state leaf that merely coincides in length must not be
+    # silently frozen-masked.
+    _FLAT_ACC_FIELDS = ("trace", "mu", "nu")
 
     def pick(path, new, old):
+        field_names = [
+            p.name for p in path if isinstance(p, jax.tree_util.GetAttrKey)
+        ]
         if (
             mask is not None
             and getattr(new, "ndim", None) == 1
             and new.shape == mask.shape
         ):
+            if not (field_names and field_names[-1] in _FLAT_ACC_FIELDS):
+                raise ValueError(
+                    "flat optimizer-state leaf with parameter-count length at "
+                    f"unexpected path {path}; extend _FLAT_ACC_FIELDS if this "
+                    "is a real per-parameter accumulator"
+                )
             return jnp.where(mask > 0, old, new)
         keys = [p.key for p in path if hasattr(p, "key")]
         for i in range(len(keys) - 1):
@@ -195,8 +210,11 @@ def build_train_step(
         new_params = optax.apply_updates(state.params, updates)
         if cfg.loss.multitask_mode == "uncertainty":
             # plain SGD on the scalar log-var at the current injected lr
-            lr = state.opt_state[-1].hyperparams["learning_rate"]
-            new_log_var = state.log_var - lr * gv
+            from asy_vrnet_tpu.train.optim import injected_learning_rate
+
+            new_log_var = state.log_var - injected_learning_rate(
+                state.opt_state
+            ) * gv
         else:
             new_log_var = state.log_var
 

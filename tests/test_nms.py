@@ -68,6 +68,42 @@ def test_nms_respects_validity_and_max_out():
     assert np.all(scores[kept] > 0.5)
 
 
+def test_nms_dense_scene_no_candidate_cap():
+    """Eval-parity regression (VERDICT r2 #4): the reference feeds EVERY box
+    with conf >= 0.05 into batched_nms (utils/utils_bbox.py:118-124) — at
+    eval confidence a trained model easily produces > 512 candidates, which
+    the old top-512 pre-truncation silently dropped.  1500 conf-passing
+    boxes must match the full greedy oracle exactly."""
+    n = 1500
+    boxes, scores, classes = _random_dets(n, 3, 42)
+    # crowd the scene so suppression chains actually run deep
+    boxes[:, 2:] = boxes[:, :2] + np.clip(boxes[:, 2:] - boxes[:, :2], 0.05, 0.15)
+    ref = _greedy_nms_oracle(boxes, scores, classes, 0.5)
+    idx, keep = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.ones(n, bool), 0.5, max_out=n,
+    )
+    ours = np.asarray(idx)[np.asarray(keep)]
+    np.testing.assert_array_equal(ours, np.asarray(ref))
+
+
+def test_nms_candidate_prefilter_is_explicit_and_consistent():
+    """The opt-in top-k pre-filter must equal the uncapped result whenever it
+    is not saturated."""
+    boxes, scores, classes = _random_dets(300, 2, 7)
+    valid = scores > 0.4
+    full = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(valid), 0.5, max_out=64,
+    )
+    capped = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(valid), 0.5, max_out=64, num_candidates=256,
+    )
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(capped[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(capped[1]))
+
+
 def test_batched_pipeline_shapes():
     rng = np.random.default_rng(11)
     pred = rng.uniform(0.0, 1.0, (2, 84, 9)).astype(np.float32)
