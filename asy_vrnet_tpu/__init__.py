@@ -18,12 +18,35 @@ if _plat:
         if _plat != "cpu":
             # The pinned platform name can go stale (e.g. the TPU tunnel
             # registered as "axon" in one image and plain "tpu" in the next).
-            # Probe it; fall back to automatic selection if it can't init.
+            # Fall back to automatic selection ONLY when the name is unknown
+            # — an init failure of a real backend (device busy: the tunnel is
+            # single-client) must stay a loud error, not a silent CPU run.
             try:
                 _jax.local_devices()
-            except RuntimeError:
-                _jax.config.update("jax_platforms", "")
-                _os.environ["JAX_PLATFORMS"] = ""
+            except RuntimeError as _e:
+                if "not in the list of known backends" in str(_e):
+                    _jax.config.update("jax_platforms", "")
+                    _os.environ["JAX_PLATFORMS"] = ""
+                else:
+                    raise
     except Exception:
         pass
-del _os, _plat
+del _plat
+
+# Persistent XLA compilation cache: full-model TPU compiles take minutes
+# (27 fused-kernel instances + the conv graph); cache them across runs.
+try:
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                          ".jax_cache"),
+        )
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        del _cache
+except Exception:
+    pass
+del _os

@@ -38,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--multitask", default="fixed", choices=["fixed", "uncertainty"])
+    p.add_argument("--remat", default="none", choices=["none", "fusion", "stages"],
+                   help="activation rematerialisation span (fit larger "
+                        "batches in HBM at ~1 extra forward of the span)")
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--resume", help="orbax checkpoint path to resume from")
     p.add_argument("--weights", help=".npz weights for partial (shape-matched) init")
@@ -53,6 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--radar-root", default="radar")
     p.add_argument("--seg-path", default=".")
     p.add_argument("--max-boxes", type=int, default=100)
+    p.add_argument("--synthetic-learnable", action="store_true",
+                   help="with --synthetic: generate the LEARNABLE overfit "
+                        "set (coloured boxes + co-located radar) instead of "
+                        "noise — for convergence validation")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="generate an N-image synthetic dataset and train on it")
     p.add_argument("--augment", action="store_true",
@@ -105,6 +112,7 @@ def resolve_config(args):
             compute_dtype=("compute_dtype", args.compute_dtype),
             num_seg_classes=("num_seg_classes", args.num_seg_classes),
             classes=("num_classes", num_classes),
+            remat=("train_remat", args.remat),
         )
         cfg = Config(
             model=model_over,
@@ -134,6 +142,7 @@ def resolve_config(args):
             model=ModelConfig(
                 num_classes=num_classes, num_seg_classes=args.num_seg_classes,
                 phi=args.phi, input_size=(hw, hw), compute_dtype=args.compute_dtype,
+                train_remat=args.remat,
             ),
             loss=LossConfig(multitask_mode=args.multitask, max_boxes=args.max_boxes),
             optim=OptimConfig(
@@ -169,13 +178,18 @@ def main(argv=None) -> None:
     from asy_vrnet_tpu.train.state import create_train_state
 
     if args.synthetic:
-        from asy_vrnet_tpu.data.synthetic import write_synthetic_voc_dataset
+        from asy_vrnet_tpu.data.synthetic import (
+            write_learnable_voc_dataset,
+            write_synthetic_voc_dataset,
+        )
 
         hw = args.input_size
         root = tempfile.mkdtemp(prefix="asyvrnet_synth_")
-        meta = write_synthetic_voc_dataset(
-            root, num_images=args.synthetic, hw=(hw, hw)
+        writer = (
+            write_learnable_voc_dataset if args.synthetic_learnable
+            else write_synthetic_voc_dataset
         )
+        meta = writer(root, num_images=args.synthetic, hw=(hw, hw))
         print(f"synthetic dataset: {root}")
         args.train_annotation = meta["annotation_path"]
         args.val_annotation = meta["annotation_path"]

@@ -65,6 +65,11 @@ COC_VARIANTS: dict[str, CoCVariant] = {
         fold_h=(8, 8, 1, 1),
         head_dim=(24, 24, 24, 24),
     ),
+    # 1-block-per-stage coc_small: exercises every architectural element
+    # (all 4 stage shapes, fusions, neck CoC blocks) at minimum depth — used
+    # by the multichip dry run to compose the full Pallas production step
+    # under GSPMD in CPU interpret mode without blowing the rendezvous budget.
+    "coc_dryrun": CoCVariant(layers=(1, 1, 1, 1)),
 }
 
 
@@ -85,6 +90,15 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Use the fused Pallas cluster kernel where supported.
     use_pallas_cluster: bool = True
+    # Activation rematerialisation for training (trades ~1 extra forward of
+    # the wrapped spans for not storing their internals; the reference's
+    # fp16-AMP envelope trains at batch 16-32, train.py:86-90 — remat is how
+    # the TPU build fits batch 128 in 16G HBM):
+    #   "none"   — store everything (fastest bwd, highest memory)
+    #   "fusion" — remat stems + the per-stage fusion/enhance modules (the
+    #              512^2 pre-stem activations dominate training memory)
+    #   "stages" — "fusion" plus every backbone stage's ClusterBlock stack
+    train_remat: str = "none"
 
     @property
     def width(self) -> float:

@@ -141,6 +141,7 @@ class CoCFpnDual(nn.Module):
     num_seg_classes: int = 9
     width: float = 1.0
     use_pallas: bool = False
+    remat: str = "none"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -150,7 +151,8 @@ class CoCFpnDual(nn.Module):
 
         outs, outs_radar = VRCoC(
             variant=self.variant, width=self.width,
-            use_pallas=self.use_pallas, dtype=self.dtype, name="backbone",
+            use_pallas=self.use_pallas, remat=self.remat,
+            dtype=self.dtype, name="backbone",
         )(image, radar, train=train)
 
         x_s2, x_s3, x_s4, x_s5 = outs

@@ -163,6 +163,7 @@ class VRCoC(nn.Module):
     image_channels: int = 3
     radar_channels: int = 4
     use_pallas: bool = False
+    remat: str = "none"            # ModelConfig.train_remat (see config.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -170,6 +171,17 @@ class VRCoC(nn.Module):
         v = self.variant
         dims = v.scaled_dims(self.width)
         num_stages = len(v.layers)
+
+        # Rematerialised module variants: under grad only the span inputs are
+        # stored; the span's internals (conv/BN/gating intermediates — at
+        # 512^2 the dominant activation cost) are recomputed in the backward.
+        # train (the last positional arg) gates python BN branches -> static.
+        Enh, REnh, Stage = ImageEnhanceByRadar, RadarEnhanceByImage, _Stage
+        if self.remat in ("fusion", "stages"):
+            Enh = nn.remat(ImageEnhanceByRadar, static_argnums=(3,))
+            REnh = nn.remat(RadarEnhanceByImage, static_argnums=(3,))
+        if self.remat == "stages":
+            Stage = nn.remat(_Stage, static_argnums=(2,))
 
         # ---- input embedding (vr_coc.py:575-587) ----
         image = PointReducer(
@@ -181,13 +193,13 @@ class VRCoC(nn.Module):
             name="radar_initial",
         )(radar)
 
-        image = ImageEnhanceByRadar(
+        image = Enh(
             self.image_channels, dtype=self.dtype, name="image_enhance_by_radar1",
-        )(image, radar, train=train)
-        radar = RadarEnhanceByImage(
+        )(image, radar, train)
+        radar = REnh(
             self.radar_channels, initial=True, dtype=self.dtype,
             name="radar_enhance_by_image1",
-        )(image, radar, train=train)
+        )(image, radar, train)
 
         b, h, w, _ = image.shape
         pos = jnp.broadcast_to(
@@ -208,22 +220,22 @@ class VRCoC(nn.Module):
         outs: list[jnp.ndarray] = []
         outs_radar: list[jnp.ndarray] = []
         for i in range(num_stages):
-            image = _Stage(
+            image = Stage(
                 dims[i], v.layers[i], i, v, use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"stage{i}",
-            )(image, train=train)
-            radar = _Stage(
+            )(image, train)
+            radar = Stage(
                 dims[i], v.layers[i], i, v, use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"stage{i}_radar",
-            )(radar, train=train)
+            )(radar, train)
 
             # fusion: image first, radar uses the already-enhanced image.
-            image = ImageEnhanceByRadar(
+            image = Enh(
                 dims[i], dtype=self.dtype, name=f"fusion{i}_image",
-            )(image, radar, train=train)
-            radar = RadarEnhanceByImage(
+            )(image, radar, train)
+            radar = REnh(
                 dims[i], dtype=self.dtype, name=f"fusion{i}_radar",
-            )(image, radar, train=train)
+            )(image, radar, train)
 
             if i == 0:
                 outs.append(image)          # stride-4 tap after stage-1 fusion

@@ -36,8 +36,6 @@ import numpy as np
 
 from asy_vrnet_tpu.ops.cluster_pallas import (
     _cluster_fused,
-    _mixer_core,
-    _mixer_core_bwd,
     _group_w,
     _region_mask,
     _replication_and_masks,
@@ -83,10 +81,124 @@ def mixer_block_supported(shape, *, heads, head_dim, fold_h, fold_w,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _rowhead_matrix(gw: int, heads: int, m: int) -> np.ndarray:
+    """(Hb, heads) 0/1: sim row (proposal, region, head) -> its head index.
+    Used to expand the (Nt, heads) token inverse-norms to (Hb, Nt) rows with
+    one K=heads matmul (Mosaic has no lane/sublane transpose for (Nt,H))."""
+    hb = m * gw * heads
+    rows = np.arange(hb)
+    out = np.zeros((hb, heads), np.float32)
+    out[rows, rows % heads] = 1.0
+    return out
+
+
+def _mixer_block_fwd_body(xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref,
+                          bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
+                          rmask_ref, rowhead_ref, *, heads, m, gw):
+    """Shared forward interior over flattened (Nt, C) tokens — the 7-pass
+    formulation (down from 10 in round 2; VERDICT r2 #1):
+
+      [1] feat = xn @ wf_e + bf_e            (the only materialised I-wide map)
+      [2] cin  = pool^T @ xn                 centers pooled in INPUT space —
+          pooling is linear with rows summing to 1, so
+          pool(xn @ W + b) == (pool(xn)) @ W + b; projecting the Mb pooled
+          rows is a tiny matmul, eliminating the second full-token pool pass
+      [3] norm2 = feat^2 @ headsel           per-head token norms
+      [4] invr = rowhead @ inv^T             row-expanded inverse norms
+      [5] raw  = cn @ feat^T;  cos = raw * invr  (== cn @ (feat*inv)^T)
+      [6] aggx = sim @ xn                    aggregation in INPUT space —
+          sim @ (xn @ wv + 1 b) == (sim @ xn) @ wv + rowsum(sim) b, so
+          `value` is never materialised and its weight grad becomes tiny
+      [7] y    = sim^T @ (oc @ w2_e)         dispatch directly in OUTPUT
+          space — fc2 folds into the (Hb, I) centers before the token pass
+
+    Returns (y, feat, cin, cn, inv, invr, raw, cos, s, mask, sim, icnt, rs,
+    aggx, oc, ocw) so the backward kernel can reuse the exact remat."""
+    f32 = jnp.float32
+    mxu = xnb.dtype
+    seg = gw * heads
+
+    # [1] feat tokens (f32 accumulate; bf16 copy for MXU re-use)
+    feat = jax.lax.dot_general(
+        xnb, wf_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bf_ref[0]                               # (Nt, I) f32
+    featb = feat.astype(mxu)
+
+    # [2] pooled input tokens -> centers via tiny projections
+    cin = jax.lax.dot_general(
+        pool_ref[:], xnb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                           # (Mb, C)
+    cinb = cin.astype(mxu)
+    cp = jax.lax.dot_general(
+        cinb, wf_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bf_ref[0]                               # (Mb, I)
+    vp = jax.lax.dot_general(
+        cinb, wv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bv_ref[0]
+    c_rep = jnp.dot(rep_ref[:], cp, preferred_element_type=f32) * hmask_ref[:]
+    vc = jnp.dot(rep_ref[:], vp, preferred_element_type=f32) * hmask_ref[:]
+    inv_c = jax.lax.rsqrt(jnp.sum(c_rep * c_rep, axis=1, keepdims=True) + 1e-12)
+    cn = c_rep * inv_c                          # (Hb, I)
+
+    # [3] per-head token norms
+    f2 = (feat * feat).astype(mxu)
+    norm2 = jax.lax.dot_general(
+        f2, headsel_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                           # (Nt, heads)
+    inv = jax.lax.rsqrt(norm2 + 1e-12)
+
+    # [4] expand inverse norms to sim rows
+    invr = jax.lax.dot_general(
+        rowhead_ref[:], inv.astype(mxu), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                           # (Hb, Nt)
+
+    # [5] similarity
+    raw = jax.lax.dot_general(
+        cn.astype(mxu), featb, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                           # (Hb, Nt)
+    cos = raw * invr
+    s = jax.nn.sigmoid(beta + alpha * cos)
+
+    # first-max assignment over the m proposals of each (region, head)
+    rmask = rmask_ref[:]
+    s_m = s * rmask + (rmask - 1.0)
+    best = s_m[0:seg]
+    arg = jnp.zeros_like(best, dtype=jnp.int32)
+    for mm in range(1, m):
+        part = s_m[mm * seg : (mm + 1) * seg]
+        better = part > best                    # strict > keeps the first max
+        best = jnp.where(better, part, best)
+        arg = jnp.where(better, mm, arg)
+    mask = jnp.concatenate(
+        [(arg == mm).astype(f32) for mm in range(m)], axis=0
+    ) * rmask                                   # (Hb, Nt)
+    sim = s * mask
+    simb = sim.astype(mxu)
+    counts = jnp.sum(mask, axis=1, keepdims=True)
+    icnt = 1.0 / (counts + 1.0)
+
+    # [6] aggregate in input space
+    aggx = jax.lax.dot_general(
+        simb, xnb, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                           # (Hb, C)
+    rs = jnp.sum(sim, axis=1, keepdims=True)    # (Hb, 1)
+    agg = jax.lax.dot_general(
+        aggx.astype(mxu), wv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + rs * bv_ref[0]
+    oc = ((agg + vc) * icnt) * hmask_ref[:]     # (Hb, I)
+    return (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, s, mask,
+            sim, simb, icnt, rs, aggx, oc)
+
+
 def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
                         bv_ref, w2_ref, b2_ref, pool_ref, rep_ref, hmask_ref,
-                        headsel_ref, rmask_ref, out_ref, osum_ref, *, heads,
-                        m, gw, rw):
+                        headsel_ref, rmask_ref, rowhead_ref, out_ref,
+                        osum_ref, *, heads, m, gw, rw):
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -104,23 +216,22 @@ def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
     mu = stats_ref[bi, 0]
     rstd = stats_ref[bi, 1]
     xn = (xf - mu) * rstd                       # GN1 sans affine (folded)
-
     xnb = xn.astype(mxu)
-    feat = (jax.lax.dot_general(
-        xnb, wf_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ) + bf_ref[0]).astype(mxu)                  # (Nt, inner)
-    value = (jax.lax.dot_general(
-        xnb, wv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ) + bv_ref[0]).astype(mxu)
 
-    mixed = _mixer_core(
-        feat, value, alpha, beta,
-        pool_ref[:], rep_ref[:], hmask_ref[:], headsel_ref[:], rmask_ref[:],
-        heads=heads, m=m, gw=gw, rw=rw, wt=wt,
-    )                                           # (Nt, inner)
+    (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, s, mask, sim,
+     simb, icnt, rs, aggx, oc) = _mixer_block_fwd_body(
+        xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref, bv_ref, pool_ref,
+        rep_ref, hmask_ref, headsel_ref, rmask_ref, rowhead_ref,
+        heads=heads, m=m, gw=gw,
+    )
 
+    # [7] dispatch in output space: fc2 applied to the Hb centers first
+    ocw = jax.lax.dot_general(
+        oc.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                           # (Hb, C)
     y = jax.lax.dot_general(
-        mixed.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
+        simb, ocw.astype(mxu), (((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     ) + b2_ref[0]                               # (Nt, C)
     out = xf + y
@@ -169,6 +280,7 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
     pool_t = jnp.asarray(
         _tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw), mxu)
     rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, inner)
+    rowhead = jnp.asarray(_rowhead_matrix(gw, heads, m), mxu)
     rmask = jnp.asarray(_region_mask(gw, heads, m, rh, rw))
     params = jnp.stack([alpha.astype(jnp.float32), beta.astype(jnp.float32)])
 
@@ -178,10 +290,9 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
     const = lambda shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     flops_per = (
-        2 * nt * c * 2 * inner                 # fc1 + fc_v
-        + 2 * nt * inner * (mb + 2 * hb)       # pooling + sim + dispatch
-        + 2 * hb * nt
-        + 2 * nt * inner * c                   # fc2
+        2 * nt * c * (inner + mb + 2 * hb)     # feat + pool + aggx + dispatch
+        + 2 * nt * inner * (heads + hb)        # norm2 + sim
+        + 2 * hb * nt * heads                  # invr expansion
     )
     return pl.pallas_call(
         kernel,
@@ -194,7 +305,7 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
             const((c, inner)), const((1, inner)),
             const((inner, c)), const((1, c)),
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
-            const((inner, heads)), const((hb, nt)),
+            const((inner, heads)), const((hb, nt)), const((hb, heads)),
         ],
         out_specs=[
             tile,
@@ -216,7 +327,7 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
       wv.astype(mxu), bv[None].astype(jnp.float32),
       w2.astype(mxu), b2[None].astype(jnp.float32),
       pool_t, jnp.asarray(rep_np), jnp.asarray(hmask_np),
-      jnp.asarray(headsel_np), rmask)
+      jnp.asarray(headsel_np, mxu), rmask, rowhead)
 
 
 def _mixer_block_ref(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
@@ -293,24 +404,22 @@ def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
 
 def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
                       wv_ref, bv_ref, w2_ref, pool_ref, rep_ref, hmask_ref,
-                      headsel_ref, rmask_ref, dxn_ref, dwf_ref, dbf_ref,
-                      dwv_ref, dbv_ref, dw2_ref, db2_ref, dab_ref, *,
+                      headsel_ref, rmask_ref, rowhead_ref, dxn_ref, dwf_ref,
+                      dbf_ref, dwv_ref, dbv_ref, dw2_ref, db2_ref, dab_ref, *,
                       heads, m, gw, rw):
-    """Phase-1 fused backward of the mixer half.
+    """Phase-1 fused backward of the mixer half (7-pass forward remat +
+    input-space backward, VERDICT r2 #1).
 
-    Rematerialises xn -> feat/value -> mixed in VMEM (same casts as the
-    forward kernel), computes dmixed, runs the shared cluster bwd core, and
-    emits dxn plus folded-weight gradient partials accumulated across each
-    batch row's tiles (GSPMD-partitionable; XLA sums over batch).
-
-    Precision note: because the remat runs the SAME Mosaic dots as the
-    production forward kernel, the rematerialised argmax assignment matches
-    the actual forward bit-for-bit in bf16 (verified vs the old XLA-remat
-    vjp on TPU: all grads within bf16 rounding).  In f32-on-TPU debug mode
-    the MXU's reduced internal precision can flip near-tie assignments
-    between XLA and Mosaic remats — this kernel sides with the forward
-    kernel, which is the consistent choice; exact-f32 parity tests run on
-    CPU (interpret) where all paths agree."""
+    Rematerialises the forward interior with _mixer_block_fwd_body (bit-same
+    Mosaic dots as the production forward kernel, so the argmax assignment
+    matches the actual forward in bf16), then back-propagates entirely in
+    INPUT channel space: since `value` and `mixed` are never materialised,
+    their weight grads collapse to tiny (Hb/Mb)-row products and two full
+    K-passes disappear vs the round-2 kernel.  Emits dxn plus folded-weight
+    gradient partials accumulated across each batch row's tiles
+    (GSPMD-partitionable; XLA sums over batch).  The hard assignment mask
+    and counts are constants (identical to autograd through argmax/one_hot);
+    GroupNorm input gradient is completed outside via the s1/s2 sums."""
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -329,54 +438,140 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
     xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
     xnb = xn.astype(mxu)
 
-    feat = (jax.lax.dot_general(
-        xnb, wf_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ) + bf_ref[0]).astype(mxu)                       # (Nt, inner)
-    value = (jax.lax.dot_general(
-        xnb, wv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ) + bv_ref[0]).astype(mxu)
-
-    mixed = _mixer_core(
-        feat, value, alpha, beta,
-        pool_ref[:], rep_ref[:], hmask_ref[:], headsel_ref[:], rmask_ref[:],
-        heads=heads, m=m, gw=gw, rw=rw, wt=wt,
-    )                                                # (Nt, inner) f32
+    (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, s, mask, sim,
+     simb, icnt, rs, aggx, oc) = _mixer_block_fwd_body(
+        xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref, bv_ref, pool_ref,
+        rep_ref, hmask_ref, headsel_ref, rmask_ref, rowhead_ref,
+        heads=heads, m=m, gw=gw,
+    )
+    ocw = jax.lax.dot_general(
+        oc.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Hb, C)
 
     gb = gout.astype(mxu)
-    dmixed = jax.lax.dot_general(                    # g @ w2_eff^T -> (Nt, inner)
-        gb, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
-    )
+    # y = sim^T @ ocw (+ b2): cotangents of sim and ocw
+    dsim = jax.lax.dot_general(
+        ocw.astype(mxu), gb, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Hb, Nt)
+    docw = jax.lax.dot_general(
+        simb, gb, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Hb, C)
 
-    dfeat, dvalue, d_alpha, d_beta = _mixer_core_bwd(
-        feat, value, dmixed, alpha, beta,
-        pool_ref[:], rep_ref[:], hmask_ref[:], headsel_ref[:], rmask_ref[:],
-        heads=heads, m=m, gw=gw, rw=rw,
-    )
+    # ocw = oc @ w2_e
+    docwb = docw.astype(mxu)
+    doc = jax.lax.dot_general(
+        docwb, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Hb, I)
+    pdw2 = jax.lax.dot_general(
+        oc.astype(mxu), docwb, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (I, C)
 
-    dfb = dfeat.astype(mxu)
-    dvb = dvalue.astype(mxu)
-    dxn = jax.lax.dot_general(                       # dfeat @ wf^T + dvalue @ wv^T
-        dfb, wf_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    # oc = ((agg + vc) * icnt) * hmask; agg = aggx @ wv_e + rs * bv_e
+    dagg = doc * icnt * hmask_ref[:]                 # (Hb, I) — also dvc
+    daggb = dagg.astype(mxu)
+    daggx = jax.lax.dot_general(
+        daggb, wv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Hb, C)
+    pdwv = jax.lax.dot_general(
+        aggx.astype(mxu), daggb, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (C, I)
+    drs = jax.lax.dot_general(
+        daggb, bv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Hb, 1)
+    pdbv = jax.lax.dot_general(
+        rs.astype(mxu), daggb, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (1, I)
+
+    # aggx = sim @ xn; rs = rowsum(sim)
+    daggxb = daggx.astype(mxu)
+    dsim = dsim + jax.lax.dot_general(
+        daggxb, xnb, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    ) + drs
+    dxn = jax.lax.dot_general(
+        simb, daggxb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Nt, C)
+
+    # sim = sigmoid(beta + alpha * cos) * mask (mask, counts constant)
+    sig = dsim * mask * s * (1.0 - s)
+    dcos = sig * alpha
+    d_alpha = jnp.sum(sig * cos)
+    d_beta = jnp.sum(sig)
+    draw = dcos * invr
+    dinvr = dcos * raw
+
+    # raw = cn @ feat^T
+    drawb = draw.astype(mxu)
+    dcn = jax.lax.dot_general(
+        drawb, featb, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Hb, I)
+    dfeat = jax.lax.dot_general(
+        drawb, cn.astype(mxu), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Nt, I)
+
+    # invr = rowhead @ inv^T; inv = rsqrt(norm2 + eps); norm2 = feat^2 @ hsel
+    dinv = jax.lax.dot_general(
+        dinvr.astype(mxu), rowhead_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Nt, heads)
+    dnorm2 = dinv * (-0.5) * inv * inv * inv
+    dfeat = dfeat + 2.0 * feat * jax.lax.dot_general(
+        dnorm2.astype(mxu), headsel_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Nt, I)
+
+    # cn = c_rep * inv_c (rowwise normalise); c_rep = (rep @ cp) * hmask
+    dot_c = jnp.sum(cn * dcn, axis=1, keepdims=True)
+    d_c_rep = inv_c * (dcn - cn * dot_c)
+    dcp = jax.lax.dot_general(
+        rep_ref[:], d_c_rep * hmask_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Mb, I)
+    dvp = jax.lax.dot_general(
+        rep_ref[:], dagg, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Mb, I) — dvc == dagg
+
+    # cp = cin @ wf_e + bf_e; vp = cin @ wv_e + bv_e; cin = pool^T @ xn
+    dcpb = dcp.astype(mxu)
+    dvpb = dvp.astype(mxu)
+    pdwf = jax.lax.dot_general(
+        cinb, dcpb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (C, I)
+    pdwv = pdwv + jax.lax.dot_general(
+        cinb, dvpb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    pdbf = jnp.sum(dcp, axis=0, keepdims=True)       # (1, I)
+    pdbv = pdbv + jnp.sum(dvp, axis=0, keepdims=True)
+    dcin = jax.lax.dot_general(
+        dcpb, wf_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
     ) + jax.lax.dot_general(
-        dvb, wv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        dvpb, wv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Mb, C)
+    dxn = dxn + jax.lax.dot_general(
+        pool_ref[:], dcin.astype(mxu), (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Nt, C)
+
+    # feat = xn @ wf_e + bf_e
+    dfb = dfeat.astype(mxu)
+    dxn = dxn + jax.lax.dot_general(
+        dfb, wf_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
     )
+    pdwf = pdwf + jax.lax.dot_general(
+        xnb, dfb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    pdbf = pdbf + jnp.sum(dfeat, axis=0, keepdims=True)
+
     dxn_ref[0] = dxn.reshape(rh, wt, c).astype(dxn_ref.dtype)
     # per-sample GN-backward partials (lanes 2/3 of the dab row):
     s1 = jnp.sum(dxn)
     s2 = jnp.sum(dxn * xn)
-
-    pdwf = jax.lax.dot_general(
-        xnb, dfb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )                                                # (C, inner)
-    pdwv = jax.lax.dot_general(
-        xnb, dvb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )
-    pdw2 = jax.lax.dot_general(
-        mixed.astype(mxu), gb, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )                                                # (inner, C)
-    pdbf = jnp.sum(dfeat, axis=0, keepdims=True)     # (1, inner)
-    pdbv = jnp.sum(dvalue, axis=0, keepdims=True)
     pdb2 = jnp.sum(gout, axis=0, keepdims=True)      # (1, C)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -435,6 +630,7 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
     pool_t = jnp.asarray(
         _tile_pool_matrix_t((rh, rw), (proposal_h, proposal_w), gw), mxu)
     rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, inner)
+    rowhead = jnp.asarray(_rowhead_matrix(gw, heads, m), mxu)
     rmask = jnp.asarray(_region_mask(gw, heads, m, rh, rw))
     params = jnp.stack([alpha.astype(f32), beta.astype(f32)])
 
@@ -458,7 +654,7 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
             const((c, inner)), const((1, inner)),
             const((inner, c)),
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
-            const((inner, heads)), const((hb, nt)),
+            const((inner, heads)), const((hb, nt)), const((hb, heads)),
         ],
         out_specs=[
             tile,
@@ -480,9 +676,11 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
         ],
         cost_estimate=pl.CostEstimate(
             flops=b * fold_h * fwg * (
-                2 * nt * c * 2 * inner * 3          # fc remat + dxn + dW
-                + 2 * nt * inner * (mb + 2 * hb) * 2
-                + 2 * nt * inner * c * 2
+                2 * nt * c * (inner + mb + 2 * hb)      # fwd remat
+                + 2 * nt * inner * (heads + hb)
+                + 2 * hb * nt * heads
+                + 2 * nt * c * (3 + 2 * hb + inner)     # bwd token passes
+                + 2 * nt * inner * (2 * hb + c + heads)
             ),
             bytes_accessed=b * h * w * c * (2 * x.dtype.itemsize + 4),
             transcendentals=2 * b * fold_h * fwg * hb * nt,
@@ -493,7 +691,8 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
       wv_e.astype(mxu), bv_e[None].astype(f32),
       w2_e.astype(mxu),
       pool_t, jnp.asarray(rep_np), jnp.asarray(hmask_np),
-      jnp.asarray(headsel_np), rmask)
+      jnp.asarray(headsel_np, mxu), rmask,
+      jnp.asarray(rowhead, mxu))
 
 
 def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
@@ -696,7 +895,13 @@ def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False):
 
 
 def _gelu_grad(z):
-    """d/dz of exact GELU: Phi(z) + z*phi(z) with the polynomial erf."""
+    """d/dz of exact GELU: Phi(z) + z*phi(z) with the polynomial erf.
+
+    Note this is the analytic derivative of EXACT GELU, not of the
+    `_erf_poly`-approximated forward the kernel computes, so the fused
+    backward is not bit-exactly the VJP of its forward.  The mismatch is
+    bounded by the polynomial's |erf - _erf_poly| <= ~1.5e-7 (times |z| for
+    the pdf term), far below bf16 resolution — harmless, kept deliberately."""
     cdf = 0.5 * (1.0 + _erf_poly(z * 0.7071067811865476))
     pdf = jnp.exp(-0.5 * z * z) * 0.3989422804014327
     return cdf + z * pdf

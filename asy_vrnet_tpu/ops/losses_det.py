@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from asy_vrnet_tpu.ops.boxes import decode_for_loss, iou_loss_squared
-from asy_vrnet_tpu.ops.simota import simota_assign
+from asy_vrnet_tpu.ops.simota_pallas import simota_assign_batched
 
 
 class DetLossAux(NamedTuple):
@@ -53,12 +53,12 @@ def yolox_loss(
     obj_logits = outputs[..., 4]           # (B, A)
     cls_logits = outputs[..., 5:]          # (B, A, C)
 
-    assign = jax.vmap(
-        lambda pb, cl, ob, gb, gc, gv: simota_assign(
-            pb, cl, ob, gb, gc, gv, grids, svec,
-            center_radius=center_radius, candidate_k=candidate_k,
-        )
-    )(bbox_preds, cls_logits, obj_logits, gt_boxes, gt_classes, gt_valid)
+    # Fused Pallas assignment on TPU (the whole per-image SimOTA runs in
+    # VMEM, ops/simota_pallas.py); vmapped jnp path elsewhere.
+    assign = simota_assign_batched(
+        bbox_preds, cls_logits, obj_logits, gt_boxes, gt_classes, gt_valid,
+        grids, svec, center_radius=center_radius, candidate_k=candidate_k,
+    )
 
     fg = assign.fg_mask.astype(jnp.float32)                 # (B, A)
     num_fg = jnp.maximum(jnp.sum(assign.num_fg), 1.0)

@@ -1,0 +1,242 @@
+"""Fused Pallas TPU kernel for SimOTA assignment (VERDICT r2 #7).
+
+The jnp formulation (ops/simota.py) runs two k=10-round fori_loops whose
+carry is the full (B, G, A) cost/IoU matrix: every round re-reads and
+re-writes ~138 MB of HBM at bs=64, costing 16.5 ms/step.  This kernel runs
+the ENTIRE per-image assignment — in-box tests, pairwise IoU, BCE cost
+assembly, both top-k loops, conflict resolution — in VMEM from the small
+per-image inputs (boxes, logits, GT lists), and writes only the three (A,)
+result vectors.  No (B, G, A) tensor ever touches HBM.
+
+Layout: anchors ride the LANE axis — anchor-indexed inputs are fed
+transposed ((4, A) boxes, (C, A) logits) so per-GT broadcasting is a (G, 1)
+x (1, A) outer product, and all reductions are plain lane/sublane reduces.
+Argmax/argmin use the max-compare-iota composite (first-index ties, matching
+jnp/top_k semantics exactly — required for oracle parity, see test_simota).
+
+Semantics are bit-identical to ops/simota.py::simota_assign (fp32
+throughout, same big-M constants, same tie order); reference:
+nets/yolo_training.py:209-427.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from asy_vrnet_tpu.ops.simota import _BIG, _CENTER_PENALTY, SimOTAResult, simota_assign
+
+
+def _first_argmax_lanes(x, iota_l):
+    """(G, A) -> (G, 1) index of the first lane attaining the row max."""
+    m = jnp.max(x, axis=1, keepdims=True)
+    return jnp.min(jnp.where(x == m, iota_l, x.shape[1]), axis=1, keepdims=True)
+
+
+def _first_argmin_lanes(x, iota_l):
+    m = jnp.min(x, axis=1, keepdims=True)
+    return jnp.min(jnp.where(x == m, iota_l, x.shape[1]), axis=1, keepdims=True)
+
+
+def _simota_kernel(pb_ref, cls_ref, obj_ref, gtb_ref, gtoh_ref, gtv_ref,
+                   grid_ref, stride_ref, fg_ref, match_ref, piou_ref, *,
+                   center_radius: float, candidate_k: int):
+    f32 = jnp.float32
+    pb = pb_ref[0].astype(f32)                    # (4, A) cxcywh transposed
+    cls_t = cls_ref[0].astype(f32)                # (C, A)
+    obj = obj_ref[0].astype(f32)                  # (1, A)
+    gtb = gtb_ref[0].astype(f32)                  # (G, 4)
+    gtoh = gtoh_ref[0].astype(f32)                # (G, C)
+    gtv = gtv_ref[0].astype(f32)                  # (G, 1)
+    grid = grid_ref[:].astype(f32)                # (2, A)
+    stride = stride_ref[:].astype(f32)            # (1, A)
+
+    c, a = cls_t.shape
+    g = gtb.shape[0]
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (g, a), 1)      # lane index
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (g, a), 0)      # sublane idx
+    iota_l1 = jax.lax.broadcasted_iota(jnp.int32, (1, a), 1)
+
+    # ---- in_boxes_info (yolo_training.py:291-365) ----
+    cx = (grid[0:1] + 0.5) * stride               # (1, A)
+    cy = (grid[1:2] + 0.5) * stride
+    gcx, gcy, gw_, gh = (gtb[:, i : i + 1] for i in range(4))     # (G, 1)
+    in_box = (
+        (cx > gcx - 0.5 * gw_) & (cx < gcx + 0.5 * gw_)
+        & (cy > gcy - 0.5 * gh) & (cy < gcy + 0.5 * gh)
+    ) & (gtv > 0)
+    r = center_radius * stride
+    in_center = (
+        (cx > gcx - r) & (cx < gcx + r) & (cy > gcy - r) & (cy < gcy + r)
+    ) & (gtv > 0)
+    both = in_box & in_center                                     # (G, A)
+    fg_pre = jnp.any(in_box | in_center, axis=0, keepdims=True)   # (1, A)
+
+    # ---- pairwise IoU cxcywh (ops/boxes.py semantics) ----
+    px, py, pw, ph = (pb[i : i + 1] for i in range(4))            # (1, A)
+    ixmin = jnp.maximum(gcx - 0.5 * gw_, px - 0.5 * pw)
+    ixmax = jnp.minimum(gcx + 0.5 * gw_, px + 0.5 * pw)
+    iymin = jnp.maximum(gcy - 0.5 * gh, py - 0.5 * ph)
+    iymax = jnp.minimum(gcy + 0.5 * gh, py + 0.5 * ph)
+    inter = jnp.maximum(ixmax - ixmin, 0.0) * jnp.maximum(iymax - iymin, 0.0)
+    union = gw_ * gh + pw * ph - inter
+    ious = inter / jnp.maximum(union, 1e-12)
+    ious = jnp.where(gtv > 0, ious, 0.0)                          # (G, A)
+    iou_cost = -jnp.log(ious + 1e-8)
+
+    # ---- classification cost: BCE(sqrt(p_cls * p_obj), onehot) over C ----
+    obj_sig = jax.nn.sigmoid(obj)                                 # (1, A)
+    cls_cost = jnp.zeros((g, a), f32)
+    for ci in range(c):
+        p = jnp.sqrt(jax.nn.sigmoid(cls_t[ci : ci + 1]) * obj_sig)  # (1, A)
+        logp = jnp.maximum(jnp.log(p), -100.0)
+        log1mp = jnp.maximum(jnp.log1p(-p), -100.0)
+        t = gtoh[:, ci : ci + 1]                                  # (G, 1)
+        cls_cost = cls_cost - (t * logp + (1.0 - t) * log1mp)
+
+    invalid = (~fg_pre) | (gtv <= 0)                              # (G, A)
+    cost = (
+        cls_cost
+        + 3.0 * iou_cost
+        + _CENTER_PENALTY * (~both).astype(f32)
+        + _BIG * invalid.astype(f32)
+    )
+
+    # ---- dynamic-k: sum of top-k candidate IoUs per GT ----
+    k = min(candidate_k, a)
+    xm = jnp.where(fg_pre, ious, 0.0)
+    topk_sum = jnp.zeros((g, 1), f32)
+    for _ in range(k):
+        m = jnp.max(xm, axis=1, keepdims=True)                    # (G, 1)
+        idx = _first_argmax_lanes(xm, iota_l)
+        xm = jnp.where(iota_l == idx, 0.0, xm)
+        topk_sum = topk_sum + m
+    dynamic_ks = jnp.clip(topk_sum.astype(jnp.int32), 1, k)       # (G, 1)
+
+    # ---- per-GT matching: first dynamic_k of the k lowest-cost anchors ----
+    xm = cost
+    match = jnp.zeros((g, a), f32)
+    for j in range(k):
+        m = jnp.min(xm, axis=1, keepdims=True)                    # (G, 1)
+        idx = _first_argmin_lanes(xm, iota_l)
+        oh = (iota_l == idx).astype(f32)
+        ok = ((j < dynamic_ks) & (m < _BIG / 2)).astype(f32)      # (G, 1)
+        xm = jnp.where(oh > 0, jnp.inf, xm)
+        match = match + oh * ok
+
+    # ---- conflict resolution: anchors matched to >1 GT keep min-cost GT ----
+    anchor_matches = jnp.sum(match, axis=0, keepdims=True)        # (1, A)
+    conflict = anchor_matches > 1.0
+    cmin = jnp.min(cost, axis=0, keepdims=True)                   # (1, A)
+    best_gt = jnp.min(jnp.where(cost == cmin, iota_g, g), axis=0,
+                      keepdims=True)                              # (1, A)
+    resolved = (iota_g == best_gt).astype(f32)                    # (G, A)
+    match = jnp.where(conflict, resolved, match)
+
+    # ---- outputs ----
+    fg = jnp.sum(match, axis=0, keepdims=True) > 0.0              # (1, A)
+    mmax = jnp.max(match, axis=0, keepdims=True)
+    matched_gt = jnp.minimum(
+        jnp.min(jnp.where(match == mmax, iota_g, g), axis=0, keepdims=True),
+        g - 1,
+    )                                                             # (1, A)
+    piou = jnp.sum(match * ious, axis=0, keepdims=True)
+
+    fg_ref[0] = fg.astype(f32)
+    match_ref[0] = matched_gt.astype(jnp.int32)
+    piou_ref[0] = piou
+
+
+@functools.partial(
+    jax.jit, static_argnames=("center_radius", "candidate_k", "interpret")
+)
+def _simota_pallas(pred_boxes, cls_logits, obj_logits, gt_boxes, gt_onehot,
+                   gt_valid, grids, strides, center_radius: float,
+                   candidate_k: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, a, _ = pred_boxes.shape
+    g = gt_boxes.shape[1]
+    c = cls_logits.shape[-1]
+    f32 = jnp.float32
+
+    pb_t = jnp.swapaxes(pred_boxes.astype(f32), 1, 2)             # (B, 4, A)
+    cls_t = jnp.swapaxes(cls_logits.astype(f32), 1, 2)            # (B, C, A)
+    obj = obj_logits.astype(f32).reshape(b, 1, a)
+    gtv = gt_valid.astype(f32).reshape(b, g, 1)
+    grid_t = jnp.swapaxes(grids.astype(f32), 0, 1)                # (2, A)
+    stride_r = strides.astype(f32).reshape(1, a)
+
+    kernel = functools.partial(
+        _simota_kernel, center_radius=center_radius, candidate_k=candidate_k
+    )
+    per_img = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda bi: (bi,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda bi: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    fg, matched, piou = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            per_img((4, a)), per_img((c, a)), per_img((1, a)),
+            per_img((g, 4)), per_img((g, c)), per_img((g, 1)),
+            const((2, a)), const((1, a)),
+        ],
+        out_specs=[per_img((1, a)), per_img((1, a)), per_img((1, a))],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, a), f32),
+            jax.ShapeDtypeStruct((b, 1, a), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, a), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * g * a * (30 + 4 * c + 8 * candidate_k),
+            bytes_accessed=b * a * (8 + c + 3) * 8,
+            transcendentals=b * a * (g + 2 * c),
+        ),
+        interpret=interpret,
+    )(pb_t, cls_t, obj, gt_boxes.astype(f32), gt_onehot, gtv, grid_t, stride_r)
+    return fg[:, 0] > 0.0, matched[:, 0], piou[:, 0]
+
+
+def simota_assign_batched(
+    pred_boxes,     # (B, A, 4) cxcywh absolute
+    cls_logits,     # (B, A, C)
+    obj_logits,     # (B, A)
+    gt_boxes,       # (B, G, 4)
+    gt_classes,     # (B, G) int
+    gt_valid,       # (B, G) bool
+    grids,          # (A, 2)
+    strides,        # (A,)
+    center_radius: float = 2.5,
+    candidate_k: int = 10,
+    use_pallas: bool | None = None,
+) -> SimOTAResult:
+    """Batched SimOTA: fused Pallas kernel on TPU, vmapped jnp elsewhere.
+
+    `use_pallas=None` selects the kernel iff running on TPU; True forces the
+    kernel (interpret mode off-TPU — used by the parity tests)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return jax.vmap(
+            lambda pb, cl, ob, gb, gc, gv: simota_assign(
+                pb, cl, ob, gb, gc, gv, grids, strides,
+                center_radius=center_radius, candidate_k=candidate_k,
+            )
+        )(pred_boxes, cls_logits, obj_logits, gt_boxes, gt_classes, gt_valid)
+
+    c = cls_logits.shape[-1]
+    sg = jax.lax.stop_gradient
+    gt_onehot = jax.nn.one_hot(gt_classes, c, dtype=jnp.float32)
+    fg, matched, piou = _simota_pallas(
+        sg(pred_boxes), sg(cls_logits), sg(obj_logits), sg(gt_boxes),
+        gt_onehot, gt_valid, grids, strides, center_radius, candidate_k,
+        interpret=jax.default_backend() != "tpu",
+    )
+    num_fg = jnp.sum(fg.astype(jnp.float32), axis=1)
+    return SimOTAResult(fg, matched, piou, num_fg)

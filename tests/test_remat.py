@@ -1,0 +1,53 @@
+"""Activation-remat knob (ModelConfig.train_remat): gradient equivalence.
+
+"fusion" wraps only conv/BN/gating spans — deterministic recompute, grads
+must match the unremated model exactly (f32).  "stages" additionally replays
+the cluster blocks, whose hard argmax assignment can flip on near-tie f32
+reassociation between the saved and replayed XLA programs — loss must still
+match exactly (same forward) and grads must be finite and close in bulk.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asy_vrnet_tpu.config import ModelConfig
+from asy_vrnet_tpu.models.efficient_vrnet import create_model, init_model
+
+
+@pytest.fixture(scope="module")
+def grad_by_mode():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    rad = jnp.asarray(rng.standard_normal((2, 64, 64, 4)), jnp.float32)
+    out = {}
+    for remat in ("none", "fusion"):
+        cfg = ModelConfig(
+            phi="nano", compute_dtype="float32", use_pallas_cluster=False,
+            input_size=(64, 64), train_remat=remat,
+        )
+        model = create_model(cfg)
+        params, bstats = init_model(model, jax.random.PRNGKey(0), input_size=(64, 64))
+
+        def loss(p):
+            (det, seg), _ = model.apply(
+                {"params": p, "batch_stats": bstats}, img, rad,
+                train=True, mutable=["batch_stats"],
+            )
+            return sum(jnp.sum(d ** 2) for d in det) + jnp.sum(seg ** 2)
+
+        val, g = jax.jit(jax.value_and_grad(loss))(params)
+        out[remat] = (
+            float(val),
+            np.asarray(jnp.concatenate([x.ravel() for x in jax.tree.leaves(g)])),
+        )
+    return out
+
+
+def test_fusion_remat_grads_exact(grad_by_mode):
+    l0, g0 = grad_by_mode["none"]
+    l1, g1 = grad_by_mode["fusion"]
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-4, atol=1e-5)
+    assert np.isfinite(g1).all()

@@ -135,6 +135,44 @@ def test_simota_matches_ragged_oracle(seed, num_gt):
     np.testing.assert_allclose(np.asarray(res.pred_iou)[sel], iou_ref[sel], atol=1e-5)
 
 
+@pytest.mark.parametrize("seed,num_gts", [(0, (3, 1)), (2, (7, 0))])
+def test_simota_pallas_kernel_matches_jnp(seed, num_gts):
+    """The fused Pallas kernel (ops/simota_pallas.py, interpret mode on CPU)
+    must reproduce the jnp fixed-shape path exactly — same argmax tie order,
+    same big-M semantics — on a 2-image batch including a no-GT image."""
+    from asy_vrnet_tpu.ops.simota_pallas import simota_assign_batched
+
+    max_boxes = 16
+    batches = []
+    for i, ng in enumerate(num_gts):
+        pred_boxes, cls_logits, obj_logits, gts, gt_cls, grids, strides = _setup(
+            seed + i, ng
+        )
+        g = np.zeros((max_boxes, 4), np.float32)
+        gc = np.zeros(max_boxes, np.int32)
+        gv = np.zeros(max_boxes, bool)
+        if ng:
+            g[:ng] = np.array(gts, np.float32)
+            gc[:ng] = gt_cls
+            gv[:ng] = True
+        batches.append((pred_boxes, cls_logits, obj_logits, g, gc, gv))
+    stack = lambda i: jnp.asarray(np.stack([b[i] for b in batches]))
+    args = (stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
+            jnp.asarray(grids), jnp.asarray(strides))
+
+    ref = simota_assign_batched(*args, use_pallas=False)
+    ker = simota_assign_batched(*args, use_pallas=True)   # interpret on CPU
+    np.testing.assert_array_equal(np.asarray(ker.fg_mask), np.asarray(ref.fg_mask))
+    np.testing.assert_array_equal(np.asarray(ker.num_fg), np.asarray(ref.num_fg))
+    sel = np.asarray(ref.fg_mask)
+    np.testing.assert_array_equal(
+        np.asarray(ker.matched_gt)[sel], np.asarray(ref.matched_gt)[sel]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker.pred_iou)[sel], np.asarray(ref.pred_iou)[sel], atol=1e-6
+    )
+
+
 def test_simota_no_gt_image():
     pred_boxes, cls_logits, obj_logits, _, _, grids, strides = _setup(4, 0)
     g = np.zeros((8, 4), np.float32)
