@@ -35,10 +35,16 @@ del _plat
 
 # Persistent XLA compilation cache: full-model TPU compiles take minutes
 # (27 fused-kernel instances + the conv graph); cache them across runs.
+# NOT for CPU runs: with the remote-compile relay active, cached CPU AOT
+# executables can carry another machine's ISA features (observed
+# "+prefer-no-gather not supported on the host" SIGILL warnings).
 try:
     import jax as _jax
 
-    if _jax.config.jax_compilation_cache_dir is None:
+    if (
+        _jax.config.jax_compilation_cache_dir is None
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"
+    ):
         _cache = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),

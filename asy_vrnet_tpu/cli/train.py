@@ -38,6 +38,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--multitask", default="fixed", choices=["fixed", "uncertainty"])
+    p.add_argument("--no-focal-loss", action="store_true",
+                   help="plain CE instead of focal for segmentation "
+                        "(reference train.py focal_loss flag)")
+    p.add_argument("--no-dice-loss", action="store_true",
+                   help="disable the dice term (reference train.py dice_loss)")
     p.add_argument("--remat", default="none", choices=["none", "fusion", "stages"],
                    help="activation rematerialisation span (fit larger "
                         "batches in HBM at ~1 extra forward of the span)")
@@ -117,7 +122,9 @@ def resolve_config(args):
         cfg = Config(
             model=model_over,
             loss=over(cfg.loss, multitask=("multitask_mode", args.multitask),
-                      max_boxes=("max_boxes", args.max_boxes)),
+                      max_boxes=("max_boxes", args.max_boxes),
+                      no_focal_loss=("focal_loss", not args.no_focal_loss),
+                      no_dice_loss=("dice_loss", not args.no_dice_loss)),
             optim=over(cfg.optim, optimizer=("optimizer", args.optimizer),
                        init_lr=("init_lr", args.init_lr),
                        no_ema=("ema", not args.no_ema)),
@@ -144,7 +151,11 @@ def resolve_config(args):
                 phi=args.phi, input_size=(hw, hw), compute_dtype=args.compute_dtype,
                 train_remat=args.remat,
             ),
-            loss=LossConfig(multitask_mode=args.multitask, max_boxes=args.max_boxes),
+            loss=LossConfig(
+                multitask_mode=args.multitask, max_boxes=args.max_boxes,
+                focal_loss=not args.no_focal_loss,
+                dice_loss=not args.no_dice_loss,
+            ),
             optim=OptimConfig(
                 optimizer=args.optimizer, init_lr=args.init_lr, ema=not args.no_ema
             ),

@@ -90,6 +90,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Use the fused Pallas cluster kernel where supported.
     use_pallas_cluster: bool = True
+    # Space-to-depth pre-stem: run the 512^2 3-7-channel input stage folded
+    # to (H/4, W/4, 16C) — exact math in a TPU-friendly layout (the
+    # full-resolution layout costs ~20 ms/fwd of lane-padded copies at
+    # bs=64).  Identical parameters; disable for bit-level fp32 parity runs.
+    prestem_s2d: bool = True
     # Activation rematerialisation for training (trades ~1 extra forward of
     # the wrapped spans for not storing their internals; the reference's
     # fp16-AMP envelope trains at batch 16-32, train.py:86-90 — remat is how

@@ -85,15 +85,25 @@ def write_learnable_voc_dataset(
     os.makedirs(os.path.join(root, "radar"), exist_ok=True)
 
     n_obj_cls = num_seg_classes - 1
-    # distinct, well-separated colours per seg class (background stays dark)
-    palette = np.stack(
+    # maximally distinct colours per seg class (background stays dark)
+    base_palette = np.asarray(
         [
-            64 + 191 * ((np.arange(n_obj_cls) >> b) & 1)
-            for b in range(3)
+            [230, 25, 75],     # red
+            [60, 180, 75],     # green
+            [0, 130, 200],     # blue
+            [255, 225, 25],    # yellow
+            [240, 50, 230],    # magenta
+            [70, 240, 240],    # cyan
+            [245, 130, 48],    # orange
+            [255, 255, 255],   # white
+            [170, 110, 40],    # brown
+            [128, 128, 128],   # gray
         ],
-        axis=-1,
-    ).astype(np.float64)                              # (n_obj_cls, 3)
-    palette[palette.sum(-1) < 128 * 3] += 64.0        # avoid near-black fills
+        dtype=np.float64,
+    )
+    palette = base_palette[
+        np.arange(n_obj_cls) % len(base_palette)
+    ]                                                 # (n_obj_cls, 3)
 
     lines = []
     for i in range(num_images):
@@ -109,8 +119,8 @@ def write_learnable_voc_dataset(
             # cycle seg classes so all of 1..n_obj_cls appear across the set
             seg_cls = 1 + (i * hi + bi) % n_obj_cls
             det_cls = (seg_cls - 1) * num_classes // n_obj_cls
-            bw = int(rng.integers(max(10, w // 6), max(12, w // 3)))
-            bh = int(rng.integers(max(10, h // 6), max(12, h // 3)))
+            bw = int(rng.integers(max(12, w // 4), max(14, w // 2)))
+            bh = int(rng.integers(max(12, h // 4), max(14, h // 2)))
             x1 = int(rng.integers(0, w - bw))
             y1 = int(rng.integers(0, h - bh))
             x2, y2 = x1 + bw, y1 + bh
@@ -120,6 +130,9 @@ def write_learnable_voc_dataset(
             seg[y1:y2, x1:x2] = seg_cls
             radar[0, y1:y2, x1:x2] = 8.0
             radar[1, y1:y2, x1:x2] = float(det_cls + 1) * 2.0
+            # seg class in channel 2: either stream can resolve the mask —
+            # this validates the training machinery, not vision difficulty
+            radar[2, y1:y2, x1:x2] = float(seg_cls)
             parts.append(f"{x1},{y1},{x2},{y2},{det_cls}")
 
         Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(

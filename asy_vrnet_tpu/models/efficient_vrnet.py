@@ -33,6 +33,7 @@ class EfficientVRNet(nn.Module):
             num_seg_classes=cfg.num_seg_classes,
             width=cfg.width,
             use_pallas=cfg.use_pallas_cluster,
+            prestem_s2d=cfg.prestem_s2d,
             remat=cfg.train_remat,
             dtype=dtype,
             name="neck",

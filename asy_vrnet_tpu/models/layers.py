@@ -13,6 +13,7 @@ direction, exact GELU, per-channel GroupNorm in ShuffleAttention).
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional
 
@@ -35,6 +36,16 @@ def channel_shuffle(x: jnp.ndarray, groups: int = 2) -> jnp.ndarray:
     return x.reshape(b, h, w, c)
 
 
+def shuffle_perm(c: int, groups: int = 2):
+    """The channel permutation channel_shuffle applies (out[j] = x[perm[j]]),
+    as a numpy array; None when C % groups != 0 (identity)."""
+    import numpy as np
+
+    if c % groups:
+        return None
+    return np.arange(c).reshape(groups, c // groups).T.reshape(-1)
+
+
 def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if name == "silu":
         return jax.nn.silu
@@ -48,6 +59,142 @@ def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     raise ValueError(f"Unsupported act type: {name}")
 
 
+def space_to_depth(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """NHWC (B,H,W,C) -> (B,H/p,W/p,p*p*C); s2d channel (pi*p+pj)*C + c.
+
+    The TPU-native layout for the 512^2 pre-stem: 3-7-channel full-res
+    tensors are layout-hostile (lane padding + feature-major re-tilings cost
+    ~20 ms/fwd at bs=64, round-3 trace); folding each pxp patch into
+    channels runs the same math at H/p x W/p with p^2*C channels.  All
+    pre-stem ops commute exactly: 1x1 convs and BatchNorm act per original
+    channel (reshape-only), the 3x3 conv becomes a conv against an
+    assembled tap-rearranged kernel, and the pxp/stride-p patch_embed
+    becomes a plain matmul.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // p, w // p, p * p * c)
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_conv_scatter(k: int, p: int, cin: int, cout: int):
+    """Index arrays mapping a (k,k,cin,cout) conv kernel into the equivalent
+    s2d-space kernel (kk,kk,p^2*cin,p^2*cout); kk = 2*ceil((k//2)/p)+1."""
+    import numpy as np
+
+    r = k // 2
+    kk = 2 * ((r + p - 1) // p) + 1
+    off = kk // 2
+    dst, src = [], []
+    for pi in range(p):
+        for pj in range(p):
+            for di in range(-r, r + 1):
+                for dj in range(-r, r + 1):
+                    DI, si = divmod(pi + di, p)
+                    DJ, sj = divmod(pj + dj, p)
+                    for ci in range(cin):
+                        for co in range(cout):
+                            dst.append((DI + off, DJ + off,
+                                        (si * p + sj) * cin + ci,
+                                        (pi * p + pj) * cout + co))
+                            src.append((di + r, dj + r, ci, co))
+    dst = tuple(np.asarray(a) for a in zip(*dst))
+    src = tuple(np.asarray(a) for a in zip(*src))
+    return kk, dst, src
+
+
+def s2d_conv_kernel(w: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Assemble the s2d-space kernel from a canonical (k,k,cin,cout) kernel
+    (differentiable scatter — gradients flow back to the canonical param)."""
+    k, _, cin, cout = w.shape
+    kk, dst, src = _s2d_conv_scatter(k, p, cin, cout)
+    zero = jnp.zeros((kk, kk, p * p * cin, p * p * cout), w.dtype)
+    return zero.at[dst].set(w[src])
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_pw_scatter(g: int, segments: tuple, cout: int):
+    """Scatter indices for a 1x1 conv in the flat s2d layout.
+
+    Input channels are a concat of s-major segments (each segment lists its
+    orig-channel count; segment j's flat channel (s, ci) sits at
+    offset_j*g + s*seg_j + ci and corresponds to canonical input channel
+    sum(segments[:j]) + ci).  Output is flat s-major (s, co)."""
+    import numpy as np
+
+    rows_s, rows_ci = [], []
+    coff = 0
+    for seg in segments:
+        for s in range(g):
+            for ci in range(seg):
+                rows_s.append(s)
+                rows_ci.append(coff + ci)
+        coff += seg
+    rows_s = np.asarray(rows_s)
+    rows_ci = np.asarray(rows_ci)
+    n = len(rows_s)
+    row_idx = np.repeat(np.arange(n), cout)
+    col_idx = np.repeat(rows_s, cout) * cout + np.tile(np.arange(cout), n)
+    src_r = np.repeat(rows_ci, cout)
+    src_c = np.tile(np.arange(cout), n)
+    return (row_idx, col_idx), (src_r, src_c), n
+
+
+def s2d_pointwise_kernel(w: jnp.ndarray, g: int, segments) -> jnp.ndarray:
+    """Block-diagonal flat-s2d kernel for a canonical 1x1 conv kernel
+    w (cin_total, cout); returns (g*cin_total, g*cout).  Differentiable."""
+    cin_total, cout = w.shape
+    dst, src, n = _s2d_pw_scatter(g, tuple(segments), cout)
+    zero = jnp.zeros((n, g * cout), w.dtype)
+    return zero.at[dst].set(w[src])
+
+
+def _s2d_batchnorm(mod: nn.Module, x: jnp.ndarray, g: int, train: bool,
+                   decay: float, eps: float, dtype) -> jnp.ndarray:
+    """Hand-rolled BatchNorm reusing the module's canonical "bn" child
+    params/stats (nn.BatchNorm-compatible variable tree).
+
+    g > 0: the input is flat s2d with g sub-position groups and stats stay
+    per ORIGINAL channel (the per-(group, channel) moments average — equal
+    counts — to the full-resolution moments).  g == 0: plain per-channel BN.
+
+    Why not nn.BatchNorm: in bf16 flax materialises f32 copies of the full
+    tensor with relayouts (~6 ms/fwd at bs=128, round-3 trace); here the
+    moments are one fused f32 reduce and the normalisation is a single
+    compute-dtype elementwise pass against C-sized affine vectors."""
+    p = mod.variables["params"]["bn"]
+    gc = x.shape[-1]
+    c = gc // g if g else gc
+    if train:
+        xf32 = x.astype(jnp.float32)
+        m_gc = jnp.mean(xf32, axis=(0, 1, 2))
+        m2_gc = jnp.mean(jnp.square(xf32), axis=(0, 1, 2))
+        if g:
+            m_gc = jnp.mean(m_gc.reshape(g, c), axis=0)
+            m2_gc = jnp.mean(m2_gc.reshape(g, c), axis=0)
+        mean = m_gc
+        var = m2_gc - jnp.square(mean)
+        stats = mod.variables["batch_stats"]["bn"]
+        mod.put_variable(
+            "batch_stats", "bn",
+            {
+                "mean": decay * stats["mean"] + (1.0 - decay) * mean,
+                "var": decay * stats["var"] + (1.0 - decay) * var,
+            },
+        )
+    else:
+        stats = mod.variables["batch_stats"]["bn"]
+        mean, var = stats["mean"], stats["var"]
+    mul = p["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        var.astype(jnp.float32) + eps
+    )                                                       # (c,)
+    add = p["bias"].astype(jnp.float32) - mean.astype(jnp.float32) * mul
+    if g:
+        mul, add = jnp.tile(mul, g), jnp.tile(add, g)
+    return x.astype(dtype) * mul.astype(dtype) + add.astype(dtype)
+
+
 class ConvBnAct(nn.Module):
     """Conv2d(bias=False) -> BatchNorm(eps 1e-3, torch momentum 0.03) -> act.
 
@@ -55,6 +202,16 @@ class ConvBnAct(nn.Module):
     is a depthwise k×k + pointwise 1×1 pair (DWConv, :23-33); BaseConv forwards
     its default bias=False into DWConv, so both convs are bias-free too (the
     real reference state_dict has no head.*_convs.*.conv.{d,p}conv.bias keys).
+
+    s2d > 0 marks the input as space-to-depth with s2d sub-position groups in
+    the FLAT layout (channel (group, orig_channel) = g*C lanes — the whole
+    point: 3-7-lane full-res tensors become 48-112-lane folded ones).
+    s2d_segments describes an input that is a concat of s-major flat
+    segments (e.g. (3, 4) for the pre-stem image|radar concat); default one
+    segment.  The 1x1 conv becomes a matmul against a block-diagonal kernel,
+    the kxk conv a conv against the tap-rearranged s2d kernel, BN stays per
+    original channel via grouped moments.  Only valid after init (the
+    standard path declares the canonical params).
     """
 
     features: int
@@ -63,12 +220,47 @@ class ConvBnAct(nn.Module):
     act: str = "relu"
     ds_conv: bool = False
     groups: int = 1
+    s2d: int = 0
+    s2d_segments: tuple = ()
+    # in_perm: consume the input as if it had been channel-permuted by this
+    # array (virtual x[j] = x_raw[in_perm_src[j]]) by indexing the canonical
+    # kernel's rows at trace time — the actual permutation op never runs.
+    # The array passed is R with kernel_eff = kernel[R] (R = argsort(perm)).
+    in_perm: tuple = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel_size
         pad = (k - 1) // 2
+        if self.in_perm and not self.is_initializing():
+            assert k == 1 and not self.ds_conv and not self.s2d
+            import numpy as np
+
+            wk = self.variables["params"]["conv"]["kernel"][0, 0]
+            wp = wk[np.asarray(self.in_perm)].astype(self.dtype)
+            y = jnp.einsum("bhwc,cd->bhwd", x.astype(self.dtype), wp)
+            y = _s2d_batchnorm(self, y, 0, train, 0.97, 1e-3, self.dtype)
+            return get_activation(self.act)(y)
+        if self.s2d:
+            assert not self.ds_conv and self.strides == 1 and self.groups == 1
+            assert not self.is_initializing()
+            g = self.s2d
+            wk = self.variables["params"]["conv"]["kernel"]
+            if k == 1:
+                segs = self.s2d_segments or (wk.shape[2],)
+                kmat = s2d_pointwise_kernel(wk[0, 0], g, segs).astype(self.dtype)
+                y = jnp.einsum("bhwk,kc->bhwc", x.astype(self.dtype), kmat)
+            else:
+                kk = s2d_conv_kernel(wk, int(g ** 0.5)).astype(self.dtype)
+                off = kk.shape[0] // 2
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kk, (1, 1),
+                    [(off, off), (off, off)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            y = _s2d_batchnorm(self, y, g, train, 0.97, 1e-3, self.dtype)
+            return get_activation(self.act)(y)
         if self.ds_conv:
             in_ch = x.shape[-1]
             x = nn.Conv(
@@ -87,22 +279,38 @@ class ConvBnAct(nn.Module):
             )(x)
         # torch BatchNorm2d(momentum=0.03): running = 0.97*running + 0.03*batch
         # -> flax momentum (decay) = 0.97.
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=self.dtype, name="bn",
-        )(x)
+        if jnp.dtype(self.dtype) == jnp.bfloat16 and not self.is_initializing():
+            # fast hand-rolled BN (see _s2d_batchnorm) — f32 path keeps
+            # nn.BatchNorm for bit-level reference parity
+            x = _s2d_batchnorm(self, x, 0, train, 0.97, 1e-3, self.dtype)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                dtype=self.dtype, name="bn",
+            )(x)
         return get_activation(self.act)(x)
 
 
 class BatchNorm2d(nn.Module):
-    """Standalone torch-default BatchNorm2d (eps 1e-5, torch momentum 0.1)."""
+    """Standalone torch-default BatchNorm2d (eps 1e-5, torch momentum 0.1).
+
+    s2d_groups > 0: the input is space-to-depth with that many sub-position
+    groups; normalisation stays per ORIGINAL channel (exact same element
+    sets and running-stat updates as the full-resolution layout)."""
 
     momentum: float = 0.1  # torch convention; flax decay = 1 - momentum
     epsilon: float = 1e-5
+    s2d_groups: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        fast = jnp.dtype(self.dtype) == jnp.bfloat16 or self.s2d_groups
+        if fast and not self.is_initializing():
+            return _s2d_batchnorm(
+                self, x, self.s2d_groups, train,
+                1.0 - self.momentum, self.epsilon, self.dtype,
+            )
         return nn.BatchNorm(
             use_running_average=not train, momentum=1.0 - self.momentum,
             epsilon=self.epsilon, dtype=self.dtype, name="bn",
@@ -173,9 +381,22 @@ class ECA(nn.Module):
 
     dtype: Dtype = jnp.float32
 
+    s2d: int = 0                # flat s2d groups (0 = standard NHWC)
+    s2d_segments: tuple = ()    # s-major segment widths of a concat input
+    # channel_perm: gate as if the input had been permuted by this channel
+    # permutation (out[j] = x[perm[j]]) WITHOUT materialising the permuted
+    # tensor — the permutation moves to the (B, C) pooled vector and the
+    # gate, and the caller folds it into the next 1x1 conv's kernel rows.
+    channel_perm: tuple = ()
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+        if self.s2d:
+            g = self.s2d
+            segs = self.s2d_segments or (x.shape[-1] // self.s2d,)
+            c = sum(segs)
+        else:
+            c = x.shape[-1]
         k = eca_kernel_size(c)
         w = self.param(
             "conv_w",
@@ -183,7 +404,23 @@ class ECA(nn.Module):
             (1, 1, k),
             jnp.float32,
         )
-        pooled = global_avg_pool(x, keepdims=False)  # (B, C)
+        if self.s2d:
+            # GAP per ORIGINAL channel: segment-wise grouped means (the
+            # element sets match full resolution exactly)
+            pooled_gc = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (B, g*c)
+            parts, off = [], 0
+            for seg in segs:
+                blk = pooled_gc[:, off : off + g * seg]
+                parts.append(jnp.mean(blk.reshape(-1, g, seg), axis=1))
+                off += g * seg
+            pooled = jnp.concatenate(parts, axis=-1).astype(x.dtype)  # (B, c)
+        else:
+            pooled = global_avg_pool(x, keepdims=False)  # (B, C)
+        if self.channel_perm:
+            import numpy as np
+
+            perm = np.asarray(self.channel_perm)
+            pooled = pooled[:, perm]                     # tiny (B, C) gather
         # 1D conv over the channel axis: (N=batch, C=1, W=channels)
         y = jax.lax.conv_general_dilated(
             pooled[:, None, :].astype(self.dtype),
@@ -193,6 +430,15 @@ class ECA(nn.Module):
             dimension_numbers=("NCH", "OIH", "NCH"),
         )[:, 0, :]
         gate = jax.nn.sigmoid(y)
+        if self.channel_perm:
+            gate = gate[:, np.argsort(perm)]             # back to raw order
+        if self.s2d:
+            parts, off = [], 0
+            for seg in segs:
+                parts.append(jnp.tile(gate[:, off : off + seg], (1, g)))
+                off += seg
+            full_gate = jnp.concatenate(parts, axis=-1)   # (B, g*c)
+            return x * full_gate[:, None, None, :]
         return x * gate[:, None, None, :]
 
 
@@ -206,6 +452,10 @@ class ShuffleAttention(nn.Module):
     """
 
     groups: int = 8  # G (G=4 inside the fusion modules, vr_coc.py:325)
+    # skip_final_shuffle: return the gated tensor WITHOUT the trailing
+    # channel_shuffle(2); the caller folds that permutation into downstream
+    # kernel rows (see RadarEnhanceByImage).
+    skip_final_shuffle: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -264,4 +514,6 @@ class ShuffleAttention(nn.Module):
         a = jnp.where(sel, a_sp, 0.0).astype(x.dtype)        # (B,1,1,C)
         t = jnp.where(sel, t_sp, t_ch).astype(x.dtype)
         gate = jax.nn.sigmoid(x * a + t)
+        if self.skip_final_shuffle:
+            return x * gate
         return channel_shuffle(x * gate, 2)

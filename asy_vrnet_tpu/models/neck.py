@@ -141,6 +141,7 @@ class CoCFpnDual(nn.Module):
     num_seg_classes: int = 9
     width: float = 1.0
     use_pallas: bool = False
+    prestem_s2d: bool = True
     remat: str = "none"
     dtype: Dtype = jnp.float32
 
@@ -151,7 +152,8 @@ class CoCFpnDual(nn.Module):
 
         outs, outs_radar = VRCoC(
             variant=self.variant, width=self.width,
-            use_pallas=self.use_pallas, remat=self.remat,
+            use_pallas=self.use_pallas, prestem_s2d=self.prestem_s2d,
+            remat=self.remat,
             dtype=self.dtype, name="backbone",
         )(image, radar, train=train)
 

@@ -29,6 +29,7 @@ from asy_vrnet_tpu.models.layers import (
     ECA,
     ShuffleAttention,
     channel_shuffle,
+    space_to_depth,
 )
 
 Dtype = Any
@@ -54,16 +55,60 @@ def positional_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 class PointReducer(nn.Module):
-    """Patch-embed / downsample as a strided conv (vr_coc.py:83-102)."""
+    """Patch-embed / downsample as a strided conv (vr_coc.py:83-102).
+
+    s2d > 0: the input is space-to-depth with s2d sub-position groups.
+    A 1x1/stride-1 reducer folds the group axis into W (exact); a
+    pxp/stride-p reducer with p^2 == s2d IS a plain matmul in this layout
+    (its output lives at the reduced resolution already)."""
 
     features: int
     patch_size: int = 16
     stride: int = 16
     padding: int = 0
+    s2d: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from asy_vrnet_tpu.models.layers import s2d_pointwise_kernel
+
+        if self.s2d and self.patch_size == 1 and self.stride == 1:
+            assert not self.is_initializing()
+            g = self.s2d
+            proj = self.variables["params"]["proj"]
+            wk = proj["kernel"][0, 0]                     # (cin, cout)
+            kmat = s2d_pointwise_kernel(wk, g, (wk.shape[0],)).astype(self.dtype)
+            y = jnp.einsum("bhwk,kc->bhwc", x.astype(self.dtype), kmat)
+            return y + jnp.tile(proj["bias"], g).astype(self.dtype)
+        if self.s2d:
+            # pxp/stride-p reducer == a plain matmul in the flat s2d layout.
+            # Input is [x_flat (s-major, cin) | pos_flat (s-major, 2)]; the
+            # canonical (p,p,cin+2,cout) kernel rows are re-ordered to match.
+            assert (
+                self.patch_size == self.stride
+                and self.patch_size ** 2 == self.s2d
+                and self.padding == 0
+                and not self.is_initializing()
+            )
+            proj = self.variables["params"]["proj"]
+            wk = proj["kernel"]                           # (p, p, ctot, cout)
+            p_, _, ctot, cout = wk.shape
+            g = self.s2d
+            w_flat = wk.reshape(g * ctot, cout)           # rows (s, ci)
+            import numpy as np
+
+            cin = ctot - 2
+            order = np.concatenate([
+                (np.repeat(np.arange(g), cin) * ctot
+                 + np.tile(np.arange(cin), g)),           # x rows (s, ci<cin)
+                (np.repeat(np.arange(g), 2) * ctot
+                 + np.tile(cin + np.arange(2), g)),       # pos rows (s, k)
+            ])
+            w2 = w_flat[order].astype(self.dtype)
+            return jnp.einsum(
+                "bhwk,kc->bhwc", x.astype(self.dtype), w2
+            ) + proj["bias"].astype(self.dtype)
         return nn.Conv(
             self.features,
             (self.patch_size, self.patch_size),
@@ -77,19 +122,25 @@ class PointReducer(nn.Module):
 
 class ImageEnhanceByRadar(nn.Module):
     """radar -> 3x3 ConvBnAct projection -> global min-max -> (1+norm)*image
-    -> BatchNorm (vr_coc.py:303-316)."""
+    -> BatchNorm (vr_coc.py:303-316).
+
+    s2d > 0: inputs are space-to-depth with s2d groups (pre-stem only); the
+    gating/min-max are elementwise or whole-tensor and commute exactly."""
 
     image_channels: int
+    s2d: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, radar: jnp.ndarray, train: bool = False):
         key = ConvBnAct(
-            self.image_channels, 3, act="relu", dtype=self.dtype,
+            self.image_channels, 3, act="relu", s2d=self.s2d, dtype=self.dtype,
             name="radar_projection",
         )(radar, train=train)
         gated = (1.0 + data_normal(key)) * image
-        return BatchNorm2d(dtype=self.dtype, name="norm")(gated, train=train)
+        return BatchNorm2d(
+            s2d_groups=self.s2d, dtype=self.dtype, name="norm"
+        )(gated, train=train)
 
 
 class RadarEnhanceByImage(nn.Module):
@@ -97,15 +148,83 @@ class RadarEnhanceByImage(nn.Module):
     inverse projection -> +radar residual -> BatchNorm (vr_coc.py:319-359).
 
     `initial=True` (used once pre-stem on the raw 3/4-channel inputs,
-    vr_coc.py:421) skips the ShuffleAttention.
+    vr_coc.py:421) skips the ShuffleAttention.  s2d > 0 (initial only):
+    concat happens per sub-position group; the 3+4=7-channel shuffle(2) is
+    an identity in both layouts (7 % 2 != 0, vr_coc.py:70-80).
     """
 
     radar_channels: int
     initial: bool = False
+    s2d: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, radar: jnp.ndarray, train: bool = False):
+        if self.s2d:
+            assert self.initial, "s2d fusion only exists pre-stem"
+            g = self.s2d
+            ci_img = image.shape[-1] // g
+            ci_rad = radar.shape[-1] // g
+            # channel_shuffle(2) over 3+4=7 original channels is the identity
+            assert (ci_img + ci_rad) % 2 == 1
+            fused = jnp.concatenate([image, radar], axis=-1)  # flat segments
+            fused = ECA(
+                s2d=g, s2d_segments=(ci_img, ci_rad), dtype=self.dtype,
+                name="channel_attn",
+            )(fused)
+            fused = ConvBnAct(
+                self.radar_channels, 1, act="relu", s2d=g,
+                s2d_segments=(ci_img, ci_rad), dtype=self.dtype,
+                name="inverse_projection",
+            )(fused, train=train)
+            fused = fused + radar
+            return BatchNorm2d(
+                s2d_groups=g, dtype=self.dtype, name="norm"
+            )(fused, train=train)
+        # bf16 production: the channel shuffles (ShuffleAttention's trailing
+        # one and the fusion's own) are pure permutations between per-channel
+        # ops — fold them into the ECA pooled vector and the 1x1 inverse
+        # projection's kernel rows instead of materialising permuted copies
+        # (~1.7 ms per stage-0 instance, round-3 trace).  f32 keeps the
+        # literal ops for bit-level reference parity.
+        import numpy as np
+
+        from asy_vrnet_tpu.models.layers import shuffle_perm
+
+        fold = (
+            jnp.dtype(self.dtype) == jnp.bfloat16 and not self.is_initializing()
+        )
+        c_img = image.shape[-1]
+        c_tot = c_img + radar.shape[-1]
+        s = shuffle_perm(c_tot, 2)
+        if fold and s is not None:
+            if not self.initial:
+                image = ShuffleAttention(
+                    groups=4, skip_final_shuffle=True, dtype=self.dtype,
+                    name="image_attn",
+                )(image)
+                sa = shuffle_perm(c_img, 2)
+            else:
+                sa = None
+            fused = jnp.concatenate([image, radar], axis=-1)
+            # composed virtual permutation: fusion shuffle after (optional)
+            # SA shuffle on the image half
+            q = s.copy()
+            if sa is not None:
+                img_part = q < c_img
+                q[img_part] = sa[q[img_part]]
+            fused = ECA(
+                channel_perm=tuple(int(v) for v in q), dtype=self.dtype,
+                name="channel_attn",
+            )(fused)
+            fused = ConvBnAct(
+                self.radar_channels, 1, act="relu",
+                in_perm=tuple(int(v) for v in np.argsort(q)),
+                dtype=self.dtype, name="inverse_projection",
+            )(fused, train=train)
+            fused = fused + radar
+            return BatchNorm2d(dtype=self.dtype, name="norm")(fused, train=train)
+
         if not self.initial:
             image = ShuffleAttention(groups=4, dtype=self.dtype, name="image_attn")(image)
         fused = jnp.concatenate([image, radar], axis=-1)
@@ -163,6 +282,7 @@ class VRCoC(nn.Module):
     image_channels: int = 3
     radar_channels: int = 4
     use_pallas: bool = False
+    prestem_s2d: bool = True       # ModelConfig.prestem_s2d
     remat: str = "none"            # ModelConfig.train_remat (see config.py)
     dtype: Dtype = jnp.float32
 
@@ -184,37 +304,97 @@ class VRCoC(nn.Module):
             Stage = nn.remat(_Stage, static_argnums=(2,))
 
         # ---- input embedding (vr_coc.py:575-587) ----
-        image = PointReducer(
-            self.image_channels, patch_size=1, stride=1, dtype=self.dtype,
-            name="image_initial",
-        )(image)
-        radar = PointReducer(
-            self.radar_channels, patch_size=1, stride=1, dtype=self.dtype,
-            name="radar_initial",
-        )(radar)
-
-        image = Enh(
-            self.image_channels, dtype=self.dtype, name="image_enhance_by_radar1",
-        )(image, radar, train)
-        radar = REnh(
-            self.radar_channels, initial=True, dtype=self.dtype,
-            name="radar_enhance_by_image1",
-        )(image, radar, train)
-
-        b, h, w, _ = image.shape
-        pos = jnp.broadcast_to(
-            positional_grid(h, w, dtype=image.dtype)[None], (b, h, w, 2)
+        # Space-to-depth pre-stem (TPU layout rework, see layers.py::
+        # space_to_depth): the full-resolution 3-7-channel stage runs folded
+        # to H/p x W/p x p^2*C — exact math, canonical params (init traces
+        # the standard path below to declare them).
+        p = v.in_stride
+        use_s2d = (
+            self.prestem_s2d
+            and not self.is_initializing()
+            and v.in_patch_size == v.in_stride
+            and v.in_pad == 0
+            and image.shape[1] % p == 0
+            and image.shape[2] % p == 0
         )
-        image = PointReducer(
-            dims[0], patch_size=v.in_patch_size, stride=v.in_stride,
-            padding=v.in_pad, dtype=self.dtype, name="patch_embed",
-        )(jnp.concatenate([image, pos], axis=-1))
-        # parity: the reference concatenates `fea_pos` (the image grid) to the
-        # radar stream as well (vr_coc.py:585); the grids are identical.
-        radar = PointReducer(
-            dims[0], patch_size=v.in_patch_size, stride=v.in_stride,
-            padding=v.in_pad, dtype=self.dtype, name="patch_embed_radar",
-        )(jnp.concatenate([radar, pos], axis=-1))
+        if use_s2d:
+            g = p * p
+            b, h, w, _ = image.shape
+            image = space_to_depth(image, p)
+            radar = space_to_depth(radar, p)
+            image = PointReducer(
+                self.image_channels, patch_size=1, stride=1, s2d=g,
+                dtype=self.dtype, name="image_initial",
+            )(image)
+            radar = PointReducer(
+                self.radar_channels, patch_size=1, stride=1, s2d=g,
+                dtype=self.dtype, name="radar_initial",
+            )(radar)
+            image = Enh(
+                self.image_channels, s2d=g, dtype=self.dtype,
+                name="image_enhance_by_radar1",
+            )(image, radar, train)
+            radar = REnh(
+                self.radar_channels, initial=True, s2d=g, dtype=self.dtype,
+                name="radar_enhance_by_image1",
+            )(image, radar, train)
+
+            pos_s2d = space_to_depth(
+                positional_grid(h, w, dtype=image.dtype)[None], p
+            )                                       # (1, h/p, w/p, g*2)
+            hp, wp = h // p, w // p
+
+            def cat_pos(x):
+                # pos appended as a trailing s-major segment; the s2d
+                # PointReducer re-orders the canonical kernel rows to match
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(pos_s2d, (b, hp, wp, g * 2))], axis=-1
+                )
+
+            image = PointReducer(
+                dims[0], patch_size=v.in_patch_size, stride=v.in_stride,
+                padding=v.in_pad, s2d=g, dtype=self.dtype, name="patch_embed",
+            )(cat_pos(image))
+            # parity: the reference concatenates `fea_pos` (the image grid)
+            # to the radar stream as well (vr_coc.py:585); grids identical.
+            radar = PointReducer(
+                dims[0], patch_size=v.in_patch_size, stride=v.in_stride,
+                padding=v.in_pad, s2d=g, dtype=self.dtype,
+                name="patch_embed_radar",
+            )(cat_pos(radar))
+        else:
+            image = PointReducer(
+                self.image_channels, patch_size=1, stride=1, dtype=self.dtype,
+                name="image_initial",
+            )(image)
+            radar = PointReducer(
+                self.radar_channels, patch_size=1, stride=1, dtype=self.dtype,
+                name="radar_initial",
+            )(radar)
+
+            image = Enh(
+                self.image_channels, dtype=self.dtype,
+                name="image_enhance_by_radar1",
+            )(image, radar, train)
+            radar = REnh(
+                self.radar_channels, initial=True, dtype=self.dtype,
+                name="radar_enhance_by_image1",
+            )(image, radar, train)
+
+            b, h, w, _ = image.shape
+            pos = jnp.broadcast_to(
+                positional_grid(h, w, dtype=image.dtype)[None], (b, h, w, 2)
+            )
+            image = PointReducer(
+                dims[0], patch_size=v.in_patch_size, stride=v.in_stride,
+                padding=v.in_pad, dtype=self.dtype, name="patch_embed",
+            )(jnp.concatenate([image, pos], axis=-1))
+            # parity: the reference concatenates `fea_pos` (the image grid) to
+            # the radar stream as well (vr_coc.py:585); the grids are identical.
+            radar = PointReducer(
+                dims[0], patch_size=v.in_patch_size, stride=v.in_stride,
+                padding=v.in_pad, dtype=self.dtype, name="patch_embed_radar",
+            )(jnp.concatenate([radar, pos], axis=-1))
 
         # ---- stages: [blocks -> fusion -> reducer] x4 (vr_coc.py:589-675) ----
         outs: list[jnp.ndarray] = []

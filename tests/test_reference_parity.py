@@ -63,8 +63,12 @@ def ours(ref_model_and_sd):
     from asy_vrnet_tpu.utils.weights import convert_torch_state_dict
 
     _, sd = ref_model_and_sd
+    # prestem_s2d off: the s2d pre-stem is mathematically exact but reorders
+    # fp32 conv summation (~1e-7 rel), outside this test's 5e-8 tolerance;
+    # its equivalence to this path is covered by tests/test_prestem_s2d.py.
     cfg = ModelConfig(phi=PHI, compute_dtype="float32",
-                      use_pallas_cluster=False, input_size=(SIZE, SIZE))
+                      use_pallas_cluster=False, prestem_s2d=False,
+                      input_size=(SIZE, SIZE))
     model = create_model(cfg)
     # init at 64x64: the model is fully convolutional, param shapes are
     # size-independent, and the small init compiles much faster.

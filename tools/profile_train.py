@@ -41,6 +41,9 @@ def main() -> None:
         "--stages", type=str, default="",
         help="comma-separated subset of stage names to run",
     )
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "fusion", "stages"],
+                    help="ModelConfig.train_remat mode to profile")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +59,8 @@ def main() -> None:
         segmentation_loss,
     )
 
-    cfg = Config(model=ModelConfig(input_size=(args.hw, args.hw)))
+    cfg = Config(model=ModelConfig(input_size=(args.hw, args.hw),
+                                   train_remat=args.remat))
     model = create_model(cfg.model)
     params, bstats = init_model(model, jax.random.PRNGKey(0), batch_size=1)
     state, tx = create_train_state(cfg, params, bstats)

@@ -79,6 +79,8 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--train", action="store_true", help="trace the train step")
     ap.add_argument("--copies", action="store_true", help="list largest copies")
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "fusion", "stages"])
     ap.add_argument("--out", default="/tmp/jaxtrace_fwd")
     args = ap.parse_args()
 
@@ -90,7 +92,8 @@ def main() -> None:
     from asy_vrnet_tpu.config import Config, ModelConfig
     from asy_vrnet_tpu.models.efficient_vrnet import create_model, init_model
 
-    cfg = Config(model=ModelConfig(input_size=(args.hw, args.hw)))
+    cfg = Config(model=ModelConfig(input_size=(args.hw, args.hw),
+                                   train_remat=args.remat))
     model = create_model(cfg.model)
     params, bstats = init_model(model, jax.random.PRNGKey(0), batch_size=1)
     rng = np.random.default_rng(0)
