@@ -479,9 +479,9 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
         aggx.astype(mxu), daggb, (((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     )                                                # (C, I)
-    drs = jax.lax.dot_general(
-        daggb, bv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
-    )                                                # (Hb, 1)
+    # f32 multiply-reduce, not a dot: a bf16 x f32 mixed-dtype dot_general
+    # trips an invalid Mosaic vector.broadcast at small (Hb, I) shapes
+    drs = jnp.sum(dagg * bv_ref[:], axis=1, keepdims=True)   # (Hb, 1)
     pdbv = jax.lax.dot_general(
         rs.astype(mxu), daggb, (((0,), (0,)), ((), ())),
         preferred_element_type=f32,

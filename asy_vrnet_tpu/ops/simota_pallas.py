@@ -198,6 +198,13 @@ def _simota_pallas(pred_boxes, cls_logits, obj_logits, gt_boxes, gt_onehot,
             bytes_accessed=b * a * (8 + c + 3) * 8,
             transcendentals=b * a * (g + 2 * c),
         ),
+        # the kernel keeps ~13 live (G, A) f32 planes (~29 MB at G=100,
+        # A=5376) — over the 16 MB default scoped-vmem budget, well inside
+        # the chip's 128 MB VMEM; per-image grid steps are independent
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(pb_t, cls_t, obj, gt_boxes.astype(f32), gt_onehot, gtv, grid_t, stride_r)
     return fg[:, 0] > 0.0, matched[:, 0], piou[:, 0]
