@@ -89,6 +89,12 @@ class ClusterBlock(nn.Module):
     heads: int = 4
     head_dim: int = 24
     use_pallas: bool = False
+    # lane_fold=s>1: x arrives lane-folded (B, H, W/s, s*C) — the stage folds
+    # once at entry so every HBM/VMEM touch of the C<128 tensors is dense
+    # instead of 128/C lane-padded (ops/block_pallas.py lane-folding note).
+    # Only valid when the fused-kernel path is taken; the caller guarantees
+    # the gating conditions (lane_fold_choice + the fused_ok terms below).
+    lane_fold: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -102,18 +108,29 @@ class ClusterBlock(nn.Module):
         # initialising (init runs the module path below to create params
         # under their canonical names; afterwards their values are read
         # directly from self.variables).
+        s = self.lane_fold
+        if s > 1:
+            b_, h_, wf_, sc_ = x.shape
+            ushape = (b_, h_, wf_ * s, sc_ // s)
+        else:
+            ushape = x.shape
         fused_ok = (
             self.use_pallas
             and self.drop == 0.0
             and (self.drop_path == 0.0 or not train)
             and not self.is_initializing()
             and mixer_block_supported(
-                x.shape, heads=self.heads, head_dim=self.head_dim,
+                ushape, heads=self.heads, head_dim=self.head_dim,
                 fold_h=self.fold_h, fold_w=self.fold_w,
                 proposal_h=self.proposal_h, proposal_w=self.proposal_w,
             )
-            and mlp_block_supported(x.shape)
+            and mlp_block_supported(ushape)
         )
+        if s > 1 and not fused_ok:
+            raise ValueError(
+                "lane_fold > 1 requires the fused ClusterBlock kernel path "
+                f"(shape {x.shape}, unfolded {ushape})"
+            )
         if fused_ok:
             p = self.variables["params"]
             tm = p["token_mixer"]
@@ -131,7 +148,7 @@ class ClusterBlock(nn.Module):
                 tm["fc2"]["kernel"][0, 0], tm["fc2"]["bias"],
                 ls1, tm["sim_alpha"], tm["sim_beta"],
                 self.heads, self.fold_h, self.fold_w,
-                self.proposal_h, self.proposal_w,
+                self.proposal_h, self.proposal_w, s,
             )
             mp = p["mlp"]
             return fused_mlp_block_pre(
@@ -139,7 +156,7 @@ class ClusterBlock(nn.Module):
                 p["norm2"]["gn"]["scale"], p["norm2"]["gn"]["bias"],
                 mp["fc1"]["kernel"][0, 0], mp["fc1"]["bias"],
                 mp["fc2"]["kernel"][0, 0], mp["fc2"]["bias"],
-                ls2,
+                ls2, s,
             )
 
         mixer = Cluster(

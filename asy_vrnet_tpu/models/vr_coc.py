@@ -250,10 +250,41 @@ class _Stage(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from asy_vrnet_tpu.ops.block_pallas import (
+            lane_fold_choice,
+            mixer_block_supported,
+            mlp_block_supported,
+        )
+
         v = self.variant
         i = self.stage_index
         total = sum(v.layers)
         prior = sum(v.layers[:i])
+        # Lane folding (block_pallas.py lane-folding note): with C < 128 every
+        # NHWC HBM buffer / DMA / VPU pass of these stages is 128/C
+        # lane-padded; fold s = 128/C W-tokens into lanes ONCE at stage entry,
+        # run all blocks' fused kernels in the dense layout, unfold at exit.
+        # Gated on every block in the stage taking the fused path.
+        s = 1
+        if (
+            self.use_pallas
+            and not self.is_initializing()
+            and v.drop_rate == 0.0
+            and (v.drop_path_rate == 0.0 or not train)
+            and mixer_block_supported(
+                x.shape, heads=v.heads[i], head_dim=v.head_dim[i],
+                fold_h=v.fold_h[i], fold_w=v.fold_w[i],
+                proposal_h=v.proposal_h[i], proposal_w=v.proposal_w[i],
+            )
+            and mlp_block_supported(x.shape)
+        ):
+            s = lane_fold_choice(
+                x.shape, fold_h=v.fold_h[i], fold_w=v.fold_w[i],
+                inner=v.heads[i] * v.head_dim[i],
+            )
+        if s > 1:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h, w // s, s * c)
         for j in range(self.num_blocks):
             dpr = v.drop_path_rate * (j + prior) / max(total - 1, 1)
             x = ClusterBlock(
@@ -267,9 +298,12 @@ class _Stage(nn.Module):
                 fold_w=v.fold_w[i], fold_h=v.fold_h[i],
                 heads=v.heads[i], head_dim=v.head_dim[i],
                 use_pallas=self.use_pallas,
+                lane_fold=s,
                 dtype=self.dtype,
                 name=f"block{j}",
             )(x, train=train)
+        if s > 1:
+            x = x.reshape(b, h, w, c)
         return x
 
 

@@ -46,6 +46,22 @@ from asy_vrnet_tpu.ops.cluster_pallas import (
 _GN_EPS = 1e-5
 
 
+def _block_compiler_params(grid_rank: int = 3):
+    """Shared Mosaic params for the block kernels.  The stage-1 kernels keep
+    ~12 MB of live (Hb, Nt)/(Nt, I) f32 planes — near the 16 MB default
+    scoped-vmem budget, which squeezes the input/output double buffers; give
+    them headroom (perf-tunable via ASY_BLOCK_VMEM_MB, 0 = Mosaic default)."""
+    import os
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    mb = int(os.environ.get("ASY_BLOCK_VMEM_MB", "64"))
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * grid_rank,
+        vmem_limit_bytes=mb * 1024 * 1024 if mb else None,
+    )
+
+
 def gn1_stats(x: jnp.ndarray) -> jnp.ndarray:
     """Per-sample GroupNorm(1) statistics over (H, W, C): (B, 2) f32
     [mean, rstd].  The only cross-tile reduction of the block."""
@@ -195,6 +211,257 @@ def _mixer_block_fwd_body(xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref,
             sim, simb, icnt, rs, aggx, oc)
 
 
+# ---------------------------------------------------------------------------
+# lane folding (round 3): with c < 128 the NHWC minor dim pads to 128 lanes in
+# BOTH HBM (T(8,128) tiling: the stage-1 c=16 buffers store 8x their bytes —
+# the bs=128 OOM dump shows "8.0x expansion" pads) and VMEM, taxing every DMA
+# and VPU pass by 128/c.  Folding s = 128/c consecutive W-tokens into the lane
+# dim ((B,H,W,C) -> (B,H,W/s,s*C)) makes all x-shaped traffic dense.  MXU work
+# is unchanged: the token projections become block-diagonal matmuls (same slab
+# count), the (Hb, Nt) similarity plane keeps its size with a permuted token
+# order (columns p-block-major: j = p*ntf + rf), and the p-indexed
+# contractions are unrolled loops over 128-aligned lane slices.
+# ---------------------------------------------------------------------------
+
+def lane_fold_choice(shape, *, fold_h, fold_w, inner) -> int:
+    """Largest usable lane-fold factor for a block stack at UNFOLDED `shape`
+    (1 = don't fold).  Requirements: s*c == 128 exactly; tile width and token
+    counts stay 128-aligned after folding so every in-kernel lane slice is
+    vreg-aligned; inner is a multiple of 128 (feat lane blocks)."""
+    b, h, w, c = shape
+    if c >= 128 or 128 % c or h % fold_h or w % fold_w:
+        return 1
+    s = 128 // c
+    rh, rw = h // fold_h, w // fold_w
+    gw = _group_w(fold_w, rh * rw)
+    wt = gw * rw
+    if wt % s or (rh * wt // s) % 128 or inner % 128:
+        return 1
+    if (w // s) % (wt // s):
+        return 1
+    return s
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_perm(rh: int, wt: int, s: int) -> np.ndarray:
+    """Folded-order token j = p*ntf + (r*wtf + wf)  ->  original tile raster
+    index r*wt + wf*s + p (the reshape (rh,wt,c)->(rh,wt/s,s*c) packs s
+    consecutive W columns into lanes, p-major)."""
+    wtf = wt // s
+    ntf = rh * wtf
+    j = np.arange(rh * wt)
+    p, rf = j // ntf, j % ntf
+    r, wf = rf // wtf, rf % wtf
+    return r * wt + wf * s + p
+
+
+@functools.lru_cache(maxsize=None)
+def _pool_perm(region_hw, proposal_hw, gw: int, s: int) -> np.ndarray:
+    pool = _tile_pool_matrix_t(region_hw, proposal_hw, gw)     # (Nt, Mb)
+    rh, rw = region_hw
+    return np.ascontiguousarray(pool[_fold_perm(rh, gw * rw, s)])
+
+
+@functools.lru_cache(maxsize=None)
+def _rmask_perm(gw, heads, m, rh, rw, s) -> np.ndarray:
+    rmask = _region_mask(gw, heads, m, rh, rw)                 # (Hb, Nt)
+    return np.ascontiguousarray(rmask[:, _fold_perm(rh, gw * rw, s)])
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_blockmask(nt: int, s: int, c: int) -> np.ndarray:
+    """(Nt, s*C) 0/1: row j = p*ntf + rf exposes only lane block p.  Masks the
+    sublane-tiled xn copy so full-width Nt contractions see each token's
+    channels exactly once."""
+    ntf = nt // s
+    out = np.zeros((nt, s * c), np.float32)
+    for p in range(s):
+        out[p * ntf : (p + 1) * ntf, p * c : (p + 1) * c] = 1.0
+    return out
+
+
+def _bd_expand(w: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(a, b) -> (s*a, s*b) block-diagonal (trace-time, tiny operands)."""
+    import jax.scipy.linalg as jsl
+
+    return jsl.block_diag(*([w] * s))
+
+
+def _row_tile(w: jnp.ndarray, s: int) -> jnp.ndarray:
+    return jnp.tile(w, (s, 1))
+
+
+def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
+                                 wfrt_ref, bf_ref, wvrt_ref, bv_ref, pool_ref,
+                                 rep_ref, hmask_ref, headsel_ref, rmask_ref,
+                                 rowhead_ref, blockmask_ref, *, heads, m, gw,
+                                 s, inner):
+    """Folded-token forward interior over (ntf, s*C) rows (see the lane
+    folding note above).  Numerically the same contractions as
+    _mixer_block_fwd_body up to f32 reassociation of the token order."""
+    f32 = jnp.float32
+    mxu = xnb_f.dtype
+    seg = gw * heads
+    ntf, sc = xn_f.shape
+
+    # [1] feat tokens: one block-diagonal matmul -> (ntf, s*I), p-major
+    feat_f = jax.lax.dot_general(
+        xnb_f, wfbd_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bft_ref[0]
+    featb_f = feat_f.astype(mxu)
+
+    # sublane-tiled + block-masked token copy for full-width Nt contractions
+    xn_blk = jnp.concatenate([xnb_f] * s, axis=0) * blockmask_ref[:]  # (Nt, sc)
+
+    # [2] pooled centers in expanded (Mb, s*C) form; the row-tiled weights
+    # fold the p-blocks back: cin_exp @ rowtile(W) == (sum_p cin_p) @ W
+    cin_exp = jax.lax.dot_general(
+        pool_ref[:], xn_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                            # (Mb, sc)
+    cin_expb = cin_exp.astype(mxu)
+    cp = jax.lax.dot_general(
+        cin_expb, wfrt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bf_ref[0]                                # (Mb, I)
+    vp = jax.lax.dot_general(
+        cin_expb, wvrt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bv_ref[0]
+    c_rep = jnp.dot(rep_ref[:], cp, preferred_element_type=f32) * hmask_ref[:]
+    vc = jnp.dot(rep_ref[:], vp, preferred_element_type=f32) * hmask_ref[:]
+    inv_c = jax.lax.rsqrt(jnp.sum(c_rep * c_rep, axis=1, keepdims=True) + 1e-12)
+    cn = c_rep * inv_c                           # (Hb, I)
+    cnb = cn.astype(mxu)
+
+    # [3][4][5] per sub-position p: head norms, row-expanded inverses,
+    # similarity — all lane slices are I- or ntf-aligned (128 multiples)
+    inv_ps, invr_ps, raw_ps, cos_ps = [], [], [], []
+    for p in range(s):
+        feat_p = featb_f[:, p * inner : (p + 1) * inner]      # (ntf, I)
+        fp32 = feat_f[:, p * inner : (p + 1) * inner]
+        f2_p = (fp32 * fp32).astype(mxu)
+        norm2_p = jax.lax.dot_general(
+            f2_p, headsel_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                        # (ntf, heads)
+        inv_p = jax.lax.rsqrt(norm2_p + 1e-12)
+        invr_p = jax.lax.dot_general(
+            rowhead_ref[:], inv_p.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )                                        # (Hb, ntf)
+        raw_p = jax.lax.dot_general(
+            cnb, feat_p, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )                                        # (Hb, ntf)
+        inv_ps.append(inv_p)
+        invr_ps.append(invr_p)
+        raw_ps.append(raw_p)
+        cos_ps.append(raw_p * invr_p)
+    cos = jnp.concatenate(cos_ps, axis=1)        # (Hb, Nt) permuted order
+    sg = jax.nn.sigmoid(beta + alpha * cos)
+
+    rmask = rmask_ref[:]
+    s_m = sg * rmask + (rmask - 1.0)
+    best = s_m[0:seg]
+    arg = jnp.zeros_like(best, dtype=jnp.int32)
+    for mm in range(1, m):
+        part = s_m[mm * seg : (mm + 1) * seg]
+        better = part > best                     # strict > keeps the first max
+        best = jnp.where(better, part, best)
+        arg = jnp.where(better, mm, arg)
+    mask = jnp.concatenate(
+        [(arg == mm).astype(f32) for mm in range(m)], axis=0
+    ) * rmask                                    # (Hb, Nt)
+    sim = sg * mask
+    simb = sim.astype(mxu)
+    counts = jnp.sum(mask, axis=1, keepdims=True)
+    icnt = 1.0 / (counts + 1.0)
+
+    # [6] aggregate against the block-masked tokens: aggx_exp[:, p*C+c] is
+    # the per-p partial; row-tiled wv folds the p-sum into the projection
+    aggx_exp = jax.lax.dot_general(
+        simb, xn_blk, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                            # (Hb, sc)
+    rs = jnp.sum(sim, axis=1, keepdims=True)     # (Hb, 1)
+    agg = jax.lax.dot_general(
+        aggx_exp.astype(mxu), wvrt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + rs * bv_ref[0]
+    oc = ((agg + vc) * icnt) * hmask_ref[:]      # (Hb, I)
+    return (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps,
+            invr_ps, raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc)
+
+
+def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
+                               bft_ref, wfrt_ref, bf_ref, wvrt_ref, bv_ref,
+                               w2_ref, b2t_ref, pool_ref, rep_ref, hmask_ref,
+                               headsel_ref, rmask_ref, rowhead_ref,
+                               blockmask_ref, eye_ref, out_ref, osum_ref, *,
+                               heads, m, gw, s, inner):
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    blk = x_ref[0]                               # (rh, wtf, s*C)
+    rh, wtf, sc = blk.shape
+    ntf = rh * wtf
+    c = sc // s
+    mxu = blk.dtype
+    xf = blk.reshape(ntf, sc).astype(f32)
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
+    gj = pl.program_id(2)
+    xn_f = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
+    xnb_f = xn_f.astype(mxu)
+
+    (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps, invr_ps,
+     raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc) = (
+        _mixer_block_fwd_body_folded(
+            xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
+            wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
+            rmask_ref, rowhead_ref, blockmask_ref,
+            heads=heads, m=m, gw=gw, s=s, inner=inner,
+        ))
+
+    # [7] dispatch: fc2 on the centers, then per-p lane placement via
+    # identity-row slices (ocw @ eye[p*C:(p+1)*C] puts ocw in lane block p)
+    ocw = jax.lax.dot_general(
+        oc.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                            # (Hb, C)
+    ocwb = ocw.astype(mxu)
+    y_f = None
+    for p in range(s):
+        ocw_p = jax.lax.dot_general(
+            ocwb, eye_ref[p * c : (p + 1) * c, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(mxu)                            # (Hb, sc), block p only
+        contrib = jax.lax.dot_general(
+            simb[:, p * ntf : (p + 1) * ntf], ocw_p, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                        # (ntf, sc)
+        y_f = contrib if y_f is None else y_f + contrib
+    out = xf + (y_f + b2t_ref[0])
+    out_ref[0] = out.reshape(rh, wtf, sc).astype(out_ref.dtype)
+    ob = out.astype(out_ref.dtype).astype(f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    psum = jnp.where(
+        lane == 0, jnp.sum(ob), jnp.where(lane == 1, jnp.sum(ob * ob), 0.0)
+    )
+    first = (gi == 0) & (gj == 0)
+
+    @pl.when(first)
+    def _init():
+        osum_ref[0] = psum
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        osum_ref[0] += psum
+
+
 def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
                         bv_ref, w2_ref, b2_ref, pool_ref, rep_ref, hmask_ref,
                         headsel_ref, rmask_ref, rowhead_ref, out_ref,
@@ -257,14 +524,19 @@ def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "fold_h", "fold_w", "proposal_h", "proposal_w",
-                     "interpret"),
+                     "fold", "interpret"),
 )
 def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
                         heads, fold_h, fold_w, proposal_h, proposal_w,
-                        interpret=False):
+                        fold=1, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if fold > 1:
+        return _mixer_block_pallas_folded(
+            x, stats, wf, bf, wv, bv, w2, b2, alpha, beta, heads, fold_h,
+            fold_w, proposal_h, proposal_w, fold, interpret=interpret,
+        )
     b, h, w, c = x.shape
     inner = wf.shape[1]
     rh, rw = h // fold_h, w // fold_w
@@ -321,6 +593,7 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
             bytes_accessed=b * h * w * c * x.dtype.itemsize * 2,
             transcendentals=b * fold_h * (fold_w // gw) * hb * nt,
         ),
+        compiler_params=_block_compiler_params(),
         interpret=interpret,
     )(params, stats, x.astype(mxu),
       wf.astype(mxu), bf[None].astype(jnp.float32),
@@ -328,6 +601,92 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
       w2.astype(mxu), b2[None].astype(jnp.float32),
       pool_t, jnp.asarray(rep_np), jnp.asarray(hmask_np),
       jnp.asarray(headsel_np, mxu), rmask, rowhead)
+
+
+def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
+                               heads, fold_h, fold_w, proposal_h, proposal_w,
+                               s, interpret=False):
+    """Lane-folded mixer forward: x is (B, H, W/s, s*C) with s*C == 128."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, wfo, sc = x.shape
+    c = sc // s
+    w = wfo * s
+    inner = wf.shape[1]
+    rh, rw = h // fold_h, w // fold_w
+    n = rh * rw
+    m = proposal_h * proposal_w
+    gw = _group_w(fold_w, n)
+    wt = gw * rw
+    wtf = wt // s
+    nt = rh * wt
+    ntf = nt // s
+    mb = gw * m
+    hb = gw * heads * m
+    f32 = jnp.float32
+
+    mxu = x.dtype
+    pool_p = jnp.asarray(_pool_perm((rh, rw), (proposal_h, proposal_w), gw, s),
+                         mxu)
+    rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, inner)
+    rowhead = jnp.asarray(_rowhead_matrix(gw, heads, m), mxu)
+    rmask = jnp.asarray(_rmask_perm(gw, heads, m, rh, rw, s))
+    blockmask = jnp.asarray(_fold_blockmask(nt, s, c), mxu)
+    eye_sc = jnp.eye(sc, dtype=mxu)
+    params = jnp.stack([alpha.astype(f32), beta.astype(f32)])
+
+    wfb = wf.astype(mxu)
+    wvb = wv.astype(mxu)
+    kernel = functools.partial(_mixer_block_kernel_folded, heads=heads, m=m,
+                               gw=gw, s=s, inner=inner)
+    tile = pl.BlockSpec((1, rh, wtf, sc), lambda bi, i, j: (bi, i, j, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    flops_per = (
+        2 * nt * c * (inner + mb + 2 * hb)
+        + 2 * nt * inner * (heads + hb)
+        + 2 * hb * nt * heads
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, fold_h, fold_w // gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile,
+            const((sc, s * inner)), const((1, s * inner)),
+            const((sc, inner)), const((1, inner)),
+            const((sc, inner)), const((1, inner)),
+            const((inner, c)), const((1, sc)),
+            const((nt, mb)), const((hb, mb)), const((hb, inner)),
+            const((inner, heads)), const((hb, nt)), const((hb, heads)),
+            const((nt, sc)), const((sc, sc)),
+        ],
+        out_specs=[
+            tile,
+            pl.BlockSpec((1, 1, 128), lambda bi, i, j: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * fold_h * (fold_w // gw) * flops_per,
+            bytes_accessed=b * h * w * c * x.dtype.itemsize * 2,
+            transcendentals=b * fold_h * (fold_w // gw) * hb * nt,
+        ),
+        compiler_params=_block_compiler_params(),
+        interpret=interpret,
+    )(params, stats, x.astype(mxu),
+      _bd_expand(wfb, s), jnp.tile(bf, s)[None].astype(f32),
+      _row_tile(wfb, s), bf[None].astype(f32),
+      _row_tile(wvb, s), bv[None].astype(f32),
+      w2.astype(mxu), jnp.tile(b2, s)[None].astype(f32),
+      pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
+      jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask, eye_sc)
 
 
 def _mixer_block_ref(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
@@ -369,10 +728,11 @@ def fused_mixer_block(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
 
 def _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha,
                     beta, heads, fold_h, fold_w, proposal_h, proposal_w,
-                    stats):
+                    stats, lane_fold=1):
     """Shared forward: returns (out, out_stats) where out_stats are the GN
     statistics of the OUTPUT, reduced inside the kernel (the chained MLP
-    half consumes them instead of re-reading out from HBM)."""
+    half consumes them instead of re-reading out from HBM).  With
+    lane_fold=s>1, x is (B, H, W/s, s*C) lane-folded and out stays folded."""
     interpret = jax.default_backend() != "tpu"
     wf_e, bf_e = _fold_in(gn_scale, gn_bias, wf, bf)
     wv_e, bv_e = _fold_in(gn_scale, gn_bias, wv, bv)
@@ -380,7 +740,8 @@ def _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha,
     out, osum = _mixer_block_pallas(
         x, stats, wf_e, bf_e, wv_e, bv_e, w2_e, b2_e,
         jnp.asarray(alpha), jnp.asarray(beta),
-        heads, fold_h, fold_w, proposal_h, proposal_w, interpret=interpret,
+        heads, fold_h, fold_w, proposal_h, proposal_w, fold=lane_fold,
+        interpret=interpret,
     )
     n = float(x.shape[1] * x.shape[2] * x.shape[3])
     mu = osum[:, 0, 0] / n
@@ -400,6 +761,239 @@ def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
                              proposal_h, proposal_w, stats)
     return out, (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha,
                  beta, stats)
+
+
+def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
+                             bft_ref, wfrt_ref, bf_ref, wvrt_ref, bv_ref,
+                             w2_ref, w2trt_ref, pool_ref, rep_ref, hmask_ref,
+                             headsel_ref, rmask_ref, rowhead_ref,
+                             blockmask_ref, eye_ref, dxn_ref, dwftok_ref,
+                             dwfcin_ref, dbftok_ref, dbfcin_ref, dwv_ref,
+                             dbv_ref, dw2_ref, db2_ref, dab_ref, *, heads, m,
+                             gw, s, inner):
+    """Lane-folded backward of the mixer half (see the lane folding note).
+
+    Same dataflow as _mixer_bwd_kernel with token-indexed contractions
+    unrolled over the s sub-positions (lane placement via identity-row
+    slices); weight-gradient partials accumulate in EXPANDED form —
+    dwf_tok (s*C, s*I), dwf_cin/dwv (s*C, I), dw2 (I, s*C) — and the XLA
+    wrapper folds their p-blocks back to the original shapes."""
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    blk = x_ref[0]                                   # (rh, wtf, s*C)
+    rh, wtf, sc = blk.shape
+    ntf = rh * wtf
+    c = sc // s
+    mxu = blk.dtype
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    xf = blk.reshape(ntf, sc).astype(f32)
+    gout = g_ref[0].reshape(ntf, sc).astype(f32)
+    xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
+    xnb = xn.astype(mxu)
+
+    (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps, invr_ps,
+     raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc) = (
+        _mixer_block_fwd_body_folded(
+            xn, xnb, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
+            wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
+            rmask_ref, rowhead_ref, blockmask_ref,
+            heads=heads, m=m, gw=gw, s=s, inner=inner,
+        ))
+    ocw = jax.lax.dot_general(
+        oc.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Hb, C)
+    ocwb = ocw.astype(mxu)
+    gb = gout.astype(mxu)
+    g_blk = jnp.concatenate([gb] * s, axis=0) * blockmask_ref[:]  # (Nt, sc)
+
+    # y_f = sum_p sim_p^T @ place_p(ocw) + b2: cotangents of sim and ocw
+    docw_exp = jax.lax.dot_general(
+        simb, g_blk, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Hb, sc)
+
+    # ocw = oc @ w2_e  (row-tiled w2^T folds the p-blocks of docw_exp)
+    docw_expb = docw_exp.astype(mxu)
+    doc = jax.lax.dot_general(
+        docw_expb, w2trt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Hb, I)
+    pdw2 = jax.lax.dot_general(
+        oc.astype(mxu), docw_expb, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (I, sc)
+
+    # oc = ((agg + vc) * icnt) * hmask; agg = aggx @ wv_e + rs * bv_e
+    dagg = doc * icnt * hmask_ref[:]                 # (Hb, I) — also dvc
+    daggb = dagg.astype(mxu)
+    # compact daggx via the p=0 rows of the row-tiled weights (== wv_e)
+    daggx = jax.lax.dot_general(
+        daggb, wvrt_ref[0:c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Hb, C)
+    daggxb = daggx.astype(mxu)
+    pdwv = jax.lax.dot_general(
+        aggx_exp.astype(mxu), daggb, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (sc, I)
+    drs = jnp.sum(dagg * bv_ref[:], axis=1, keepdims=True)   # (Hb, 1)
+    pdbv = jax.lax.dot_general(
+        rs.astype(mxu), daggb, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (1, I)
+
+    # per-p: dsim (from dispatch + aggregation), dxn (from both)
+    dsim_ps = []
+    dxn = None
+    for p in range(s):
+        eye_p = eye_ref[p * c : (p + 1) * c, :]      # (C, sc): lane block p
+        ocw_p = jax.lax.dot_general(
+            ocwb, eye_p, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ).astype(mxu)                                # (Hb, sc)
+        daggx_p = jax.lax.dot_general(
+            daggxb, eye_p, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ).astype(mxu)                                # (Hb, sc)
+        dsim_p = jax.lax.dot_general(
+            ocw_p, gb, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        ) + jax.lax.dot_general(
+            daggx_p, xnb, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )                                            # (Hb, ntf)
+        dsim_ps.append(dsim_p)
+        sim_p = simb[:, p * ntf : (p + 1) * ntf]
+        dxn_p = jax.lax.dot_general(
+            sim_p, daggx_p, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )                                            # (ntf, sc)
+        dxn = dxn_p if dxn is None else dxn + dxn_p
+    dsim = jnp.concatenate(dsim_ps, axis=1) + drs    # (Hb, Nt)
+
+    # sim = sigmoid(beta + alpha * cos) * mask (mask, counts constant)
+    sig = dsim * mask * sg * (1.0 - sg)
+    dcos = sig * alpha
+    d_alpha = jnp.sum(sig * cos)
+    d_beta = jnp.sum(sig)
+
+    # per-p: raw/invr/norm chains -> dcn and dfeat
+    dcn = None
+    dfeat_ps = []
+    for p in range(s):
+        dcos_p = dcos[:, p * ntf : (p + 1) * ntf]
+        draw_p = (dcos_p * invr_ps[p]).astype(mxu)
+        dinvr_p = (dcos_p * raw_ps[p]).astype(mxu)
+        feat_p = featb_f[:, p * inner : (p + 1) * inner]
+        dcn_p = jax.lax.dot_general(
+            draw_p, feat_p, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                            # (Hb, I)
+        dcn = dcn_p if dcn is None else dcn + dcn_p
+        dfeat_p = jax.lax.dot_general(
+            draw_p, cnb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )                                            # (ntf, I)
+        dinv_p = jax.lax.dot_general(
+            dinvr_p, rowhead_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                            # (ntf, heads)
+        inv_p = inv_ps[p]
+        dnorm2_p = dinv_p * (-0.5) * inv_p * inv_p * inv_p
+        dfeat_p = dfeat_p + 2.0 * feat_f[:, p * inner : (p + 1) * inner] * (
+            jax.lax.dot_general(
+                dnorm2_p.astype(mxu), headsel_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ))
+        dfeat_ps.append(dfeat_p)
+    dfeat_f = jnp.concatenate(dfeat_ps, axis=1)      # (ntf, s*I)
+
+    # cn = c_rep * inv_c; c_rep = (rep @ cp) * hmask
+    dot_c = jnp.sum(cn * dcn, axis=1, keepdims=True)
+    d_c_rep = inv_c * (dcn - cn * dot_c)
+    dcp = jax.lax.dot_general(
+        rep_ref[:], d_c_rep * hmask_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Mb, I)
+    dvp = jax.lax.dot_general(
+        rep_ref[:], dagg, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Mb, I)
+
+    # cp = cin @ wf_e + bf_e; vp = cin @ wv_e + bv_e; cin = pool^T @ xn
+    dcpb = dcp.astype(mxu)
+    dvpb = dvp.astype(mxu)
+    pdwf_cin = jax.lax.dot_general(
+        cin_expb, dcpb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (sc, I)
+    pdwv = pdwv + jax.lax.dot_general(
+        cin_expb, dvpb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    pdbf_cin = jnp.sum(dcp, axis=0, keepdims=True)   # (1, I)
+    pdbv = pdbv + jnp.sum(dvp, axis=0, keepdims=True)
+    dcin = jax.lax.dot_general(
+        dcpb, wfrt_ref[0:c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        dvpb, wvrt_ref[0:c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Mb, C)
+    dcinb = dcin.astype(mxu)
+    for p in range(s):
+        dcin_p = jax.lax.dot_general(
+            dcinb, eye_ref[p * c : (p + 1) * c, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(mxu)                                # (Mb, sc)
+        dxn = dxn + jax.lax.dot_general(
+            pool_ref[p * ntf : (p + 1) * ntf, :], dcin_p,
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )                                            # (ntf, sc)
+
+    # feat = xn @ wf_bd + bf_t
+    dfb = dfeat_f.astype(mxu)
+    dxn = dxn + jax.lax.dot_general(
+        dfb, wfbd_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+    pdwf_tok = jax.lax.dot_general(
+        xnb, dfb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (sc, s*I)
+    pdbf_tok = jnp.sum(dfeat_f, axis=0, keepdims=True)   # (1, s*I)
+
+    dxn_ref[0] = dxn.reshape(rh, wtf, sc).astype(dxn_ref.dtype)
+    s1 = jnp.sum(dxn)
+    s2 = jnp.sum(dxn * xn)
+    pdb2 = jnp.sum(gout, axis=0, keepdims=True)      # (1, sc)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    dab_ref[0, 0] = jnp.where(
+        lane == 0, d_alpha,
+        jnp.where(lane == 1, d_beta,
+                  jnp.where(lane == 2, s1, jnp.where(lane == 3, s2, 0.0))),
+    )
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _init():
+        dwftok_ref[0] = pdwf_tok
+        dwfcin_ref[0] = pdwf_cin
+        dbftok_ref[0] = pdbf_tok
+        dbfcin_ref[0] = pdbf_cin
+        dwv_ref[0] = pdwv
+        dbv_ref[0] = pdbv
+        dw2_ref[0] = pdw2
+        db2_ref[0] = pdb2
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        dwftok_ref[0] += pdwf_tok
+        dwfcin_ref[0] += pdwf_cin
+        dbftok_ref[0] += pdbf_tok
+        dbfcin_ref[0] += pdbf_cin
+        dwv_ref[0] += pdwv
+        dbv_ref[0] += pdbv
+        dw2_ref[0] += pdw2
+        db2_ref[0] += pdb2
 
 
 def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
@@ -605,14 +1199,19 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "fold_h", "fold_w", "proposal_h", "proposal_w",
-                     "interpret"),
+                     "fold", "interpret"),
 )
 def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
                       heads, fold_h, fold_w, proposal_h, proposal_w,
-                      interpret=False):
+                      fold=1, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if fold > 1:
+        return _mixer_bwd_pallas_folded(
+            x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta, heads,
+            fold_h, fold_w, proposal_h, proposal_w, fold, interpret=interpret,
+        )
     b, h, w, c = x.shape
     inner = wf_e.shape[1]
     rh, rw = h // fold_h, w // fold_w
@@ -685,6 +1284,7 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
             bytes_accessed=b * h * w * c * (2 * x.dtype.itemsize + 4),
             transcendentals=2 * b * fold_h * fwg * hb * nt,
         ),
+        compiler_params=_block_compiler_params(),
         interpret=interpret,
     )(params, stats, x.astype(mxu), g.astype(mxu),
       wf_e.astype(mxu), bf_e[None].astype(f32),
@@ -695,8 +1295,139 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
       jnp.asarray(rowhead, mxu))
 
 
+def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
+                             alpha, beta, heads, fold_h, fold_w, proposal_h,
+                             proposal_w, s, interpret=False):
+    """Lane-folded mixer backward: x/g are (B, H, W/s, s*C).  Returns the
+    expanded-form weight-grad accumulators (folded to original shapes by
+    _fused_mixer_block_bwd)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, wfo, sc = x.shape
+    c = sc // s
+    w = wfo * s
+    inner = wf_e.shape[1]
+    rh, rw = h // fold_h, w // fold_w
+    n = rh * rw
+    m = proposal_h * proposal_w
+    gw = _group_w(fold_w, n)
+    wt = gw * rw
+    wtf = wt // s
+    nt = rh * wt
+    ntf = nt // s
+    mb = gw * m
+    hb = gw * heads * m
+    fwg = fold_w // gw
+    f32 = jnp.float32
+    mxu = x.dtype
+
+    pool_p = jnp.asarray(_pool_perm((rh, rw), (proposal_h, proposal_w), gw, s),
+                         mxu)
+    rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, inner)
+    rowhead = jnp.asarray(_rowhead_matrix(gw, heads, m), mxu)
+    rmask = jnp.asarray(_rmask_perm(gw, heads, m, rh, rw, s))
+    blockmask = jnp.asarray(_fold_blockmask(nt, s, c), mxu)
+    eye_sc = jnp.eye(sc, dtype=mxu)
+    params = jnp.stack([alpha.astype(f32), beta.astype(f32)])
+    wfb = wf_e.astype(mxu)
+    wvb = wv_e.astype(mxu)
+    w2b = w2_e.astype(mxu)
+
+    kernel = functools.partial(_mixer_bwd_kernel_folded, heads=heads, m=m,
+                               gw=gw, s=s, inner=inner)
+    tile = pl.BlockSpec((1, rh, wtf, sc), lambda bi, i, j: (bi, i, j, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda bi, i, j: (bi,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, fold_h, fwg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile, tile,
+            const((sc, s * inner)), const((1, s * inner)),
+            const((sc, inner)), const((1, inner)),
+            const((sc, inner)), const((1, inner)),
+            const((inner, c)), const((sc, inner)),
+            const((nt, mb)), const((hb, mb)), const((hb, inner)),
+            const((inner, heads)), const((hb, nt)), const((hb, heads)),
+            const((nt, sc)), const((sc, sc)),
+        ],
+        out_specs=[
+            tile,
+            acc((sc, s * inner)), acc((sc, inner)),
+            acc((1, s * inner)), acc((1, inner)),
+            acc((sc, inner)), acc((1, inner)),
+            acc((inner, sc)), acc((1, sc)),
+            pl.BlockSpec((1, 1, 1, 128), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, sc, s * inner), f32),
+            jax.ShapeDtypeStruct((b, sc, inner), f32),
+            jax.ShapeDtypeStruct((b, 1, s * inner), f32),
+            jax.ShapeDtypeStruct((b, 1, inner), f32),
+            jax.ShapeDtypeStruct((b, sc, inner), f32),
+            jax.ShapeDtypeStruct((b, 1, inner), f32),
+            jax.ShapeDtypeStruct((b, inner, sc), f32),
+            jax.ShapeDtypeStruct((b, 1, sc), f32),
+            jax.ShapeDtypeStruct((b, fold_h, fwg, 128), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * fold_h * fwg * (
+                2 * nt * c * (inner + mb + 2 * hb)
+                + 2 * nt * inner * (heads + hb)
+                + 2 * hb * nt * heads
+                + 2 * nt * c * (3 + 2 * hb + inner)
+                + 2 * nt * inner * (2 * hb + c + heads)
+            ),
+            bytes_accessed=b * h * w * c * (2 * x.dtype.itemsize + 4),
+            transcendentals=2 * b * fold_h * fwg * hb * nt,
+        ),
+        compiler_params=_block_compiler_params(),
+        interpret=interpret,
+    )(params, stats, x.astype(mxu), g.astype(mxu),
+      _bd_expand(wfb, s), jnp.tile(bf_e, s)[None].astype(f32),
+      _row_tile(wfb, s), bf_e[None].astype(f32),
+      _row_tile(wvb, s), bv_e[None].astype(f32),
+      w2b, _row_tile(w2b.T, s),
+      pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
+      jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask, eye_sc)
+
+
+def _fold_diag_blocks(w_exp, s):
+    """(s*a, s*b) expanded grad -> (a, b): sum of the s diagonal blocks."""
+    sa, sb = w_exp.shape
+    a, bdim = sa // s, sb // s
+    return sum(
+        w_exp[p * a : (p + 1) * a, p * bdim : (p + 1) * bdim]
+        for p in range(s)
+    )
+
+
+def _fold_row_blocks(w_exp, s):
+    """(s*a, b) -> (a, b): sum of the s row blocks."""
+    sa = w_exp.shape[0]
+    a = sa // s
+    return sum(w_exp[p * a : (p + 1) * a, :] for p in range(s))
+
+
+def _fold_lane_blocks(w_exp, s):
+    """(..., s*b) -> (..., b): sum of the s lane blocks."""
+    sb = w_exp.shape[-1]
+    bdim = sb // s
+    return sum(w_exp[..., p * bdim : (p + 1) * bdim] for p in range(s))
+
+
 def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
-                           res, g):
+                           res, g, lane_fold=1):
     """Fused backward of the mixer half: one Pallas kernel (remat + cluster
     bwd core + folded-weight grad accumulators) + XLA GroupNorm backward +
     trace-time grad unfolding.  Replaces jax.vjp through the ref composition
@@ -708,17 +1439,36 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
     wv_e, bv_e = _fold_in(gn_scale, gn_bias, wv, bv)
     w2_e, _ = _fold_out(w2, b2, ls1)
 
-    (dxn, dwfp, dbfp, dwvp, dbvp, dw2p, db2p, dab) = _mixer_bwd_pallas(
-        x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
-        jnp.asarray(alpha), jnp.asarray(beta),
-        heads, fold_h, fold_w, proposal_h, proposal_w, interpret=interpret,
-    )
-    dwf_e = jnp.sum(dwfp, axis=0)
-    dbf_e = jnp.sum(dbfp, axis=(0, 1))
-    dwv_e = jnp.sum(dwvp, axis=0)
-    dbv_e = jnp.sum(dbvp, axis=(0, 1))
-    dw2_e = jnp.sum(dw2p, axis=0)
-    db2_e = jnp.sum(db2p, axis=(0, 1))
+    if lane_fold > 1:
+        s = lane_fold
+        (dxn, dwftok, dwfcin, dbftok, dbfcin, dwvp, dbvp, dw2p, db2p,
+         dab) = _mixer_bwd_pallas(
+            x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
+            jnp.asarray(alpha), jnp.asarray(beta),
+            heads, fold_h, fold_w, proposal_h, proposal_w, fold=s,
+            interpret=interpret,
+        )
+        dwf_e = (_fold_diag_blocks(jnp.sum(dwftok, axis=0), s)
+                 + _fold_row_blocks(jnp.sum(dwfcin, axis=0), s))
+        dbf_e = (_fold_lane_blocks(jnp.sum(dbftok, axis=(0, 1)), s)
+                 + jnp.sum(dbfcin, axis=(0, 1)))
+        dwv_e = _fold_row_blocks(jnp.sum(dwvp, axis=0), s)
+        dbv_e = jnp.sum(dbvp, axis=(0, 1))
+        dw2_e = _fold_lane_blocks(jnp.sum(dw2p, axis=0), s)
+        db2_e = _fold_lane_blocks(jnp.sum(db2p, axis=(0, 1)), s)
+    else:
+        (dxn, dwfp, dbfp, dwvp, dbvp, dw2p, db2p, dab) = _mixer_bwd_pallas(
+            x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
+            jnp.asarray(alpha), jnp.asarray(beta),
+            heads, fold_h, fold_w, proposal_h, proposal_w,
+            interpret=interpret,
+        )
+        dwf_e = jnp.sum(dwfp, axis=0)
+        dbf_e = jnp.sum(dbfp, axis=(0, 1))
+        dwv_e = jnp.sum(dwvp, axis=0)
+        dbv_e = jnp.sum(dbvp, axis=(0, 1))
+        dw2_e = jnp.sum(dw2p, axis=0)
+        db2_e = jnp.sum(db2p, axis=(0, 1))
     d_alpha = jnp.sum(dab[..., 0]).astype(jnp.asarray(alpha).dtype)
     d_beta = jnp.sum(dab[..., 1]).astype(jnp.asarray(beta).dtype)
     s1 = jnp.sum(dab[..., 2], axis=(1, 2))           # (B,) per-sample GN sums
@@ -758,39 +1508,43 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
 fused_mixer_block.defvjp(_fused_mixer_block_fwd, _fused_mixer_block_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
 def fused_mixer_block_stats(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
                             alpha, beta, heads, fold_h, fold_w, proposal_h,
-                            proposal_w):
+                            proposal_w, lane_fold=1):
     """Mixer half returning (out, gn_stats_of_out) for stats chaining:
     the kernel reduces the output moments in VMEM, so the chained MLP half
     (fused_mlp_block_pre) skips its own full-pass GN-stats reduce.
+
+    With lane_fold=s>1 the input/output ride the lane-folded layout
+    (B, H, W/s, s*C) — see lane_fold_choice; weights keep original shapes.
 
     INTERNAL protocol: the stats output must only feed fused_mlp_block_pre,
     whose backward returns a zero cotangent for it (the stats' dependence on
     x is reconstructed analytically inside each half's GroupNorm backward)."""
     return _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
                            alpha, beta, heads, fold_h, fold_w, proposal_h,
-                           proposal_w, gn1_stats(x))
+                           proposal_w, gn1_stats(x), lane_fold)
 
 
 def _fused_mixer_block_stats_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2,
                                  b2, ls1, alpha, beta, heads, fold_h, fold_w,
-                                 proposal_h, proposal_w):
+                                 proposal_h, proposal_w, lane_fold=1):
     stats = gn1_stats(x)
     out, ostats = _mixer_fwd_impl(
         x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta,
-        heads, fold_h, fold_w, proposal_h, proposal_w, stats,
+        heads, fold_h, fold_w, proposal_h, proposal_w, stats, lane_fold,
     )
     return (out, ostats), (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
                            alpha, beta, stats)
 
 
 def _fused_mixer_block_stats_bwd(heads, fold_h, fold_w, proposal_h,
-                                 proposal_w, res, g):
+                                 proposal_w, lane_fold, res, g):
     gout, _gstats = g  # stats cotangent is zero under the chaining protocol
     return _fused_mixer_block_bwd(
-        heads, fold_h, fold_w, proposal_h, proposal_w, res, gout
+        heads, fold_h, fold_w, proposal_h, proposal_w, res, gout,
+        lane_fold=lane_fold,
     )
 
 
@@ -889,6 +1643,7 @@ def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False):
             bytes_accessed=b * h * w * c * x.dtype.itemsize * 2,
             transcendentals=b * h * w * hidden,
         ),
+        compiler_params=_block_compiler_params(2),
         interpret=interpret,
     )(stats, x.astype(mxu), w1.astype(mxu), b1[None].astype(jnp.float32),
       w2.astype(mxu), b2[None].astype(jnp.float32))
@@ -1024,6 +1779,7 @@ def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False):
             bytes_accessed=b * h * w * c * (2 * x.dtype.itemsize + 4),
             transcendentals=2 * b * h * w * hidden,
         ),
+        compiler_params=_block_compiler_params(2),
         interpret=interpret,
     )(stats, x.astype(mxu), g.astype(mxu),
       w1_eff.astype(mxu), b1_eff[None].astype(f32), w2_eff.astype(mxu))
@@ -1068,26 +1824,40 @@ def _fused_mlp_block_fwd(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
     return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats)
 
 
-def _fused_mlp_block_bwd(res, g):
+def _fused_mlp_block_bwd(res, g, lane_fold=1):
     """Fused backward: phase-1 Pallas kernel (dxn + folded-weight grad
     accumulators, one read of x and g) + XLA phase 2 (GroupNorm(1) input
     gradient — a per-sample cross-tile reduction — fused with the residual
     add) + trace-time unfolding of the folded-weight grads to the original
     parameters.  Replaces jax.vjp through the ref composition, which cost
-    ~35 ms/step at bs=64 in unfused XLA remat+grad chains (BENCH_NOTES)."""
+    ~35 ms/step at bs=64 in unfused XLA remat+grad chains (BENCH_NOTES).
+
+    With lane_fold=s>1 x/g are lane-folded and the kernel runs on
+    block-diagonal expanded weights; grads fold back here."""
     x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats = res
     interpret = jax.default_backend() != "tpu"
     f32 = jnp.float32
     w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
     w2_e, _ = _fold_out(w2, b2, ls2)
 
-    dxn, dw1p, db1p, dw2p, db2p, dsump = _mlp_bwd_pallas(
-        x, g, stats, w1_e, b1_e, w2_e, interpret=interpret
-    )
-    dw1_e = jnp.sum(dw1p, axis=0)                    # (C, hid)
-    db1_e = jnp.sum(db1p, axis=(0, 1))               # (hid,)
-    dw2_e = jnp.sum(dw2p, axis=0)                    # (hid, C)
-    db2_e = jnp.sum(db2p, axis=(0, 1))               # (C,)
+    if lane_fold > 1:
+        s = lane_fold
+        dxn, dw1p, db1p, dw2p, db2p, dsump = _mlp_bwd_pallas(
+            x, g, stats, _bd_expand(w1_e, s), jnp.tile(b1_e, s),
+            _bd_expand(w2_e, s), interpret=interpret,
+        )
+        dw1_e = _fold_diag_blocks(jnp.sum(dw1p, axis=0), s)
+        db1_e = _fold_lane_blocks(jnp.sum(db1p, axis=(0, 1)), s)
+        dw2_e = _fold_diag_blocks(jnp.sum(dw2p, axis=0), s)
+        db2_e = _fold_lane_blocks(jnp.sum(db2p, axis=(0, 1)), s)
+    else:
+        dxn, dw1p, db1p, dw2p, db2p, dsump = _mlp_bwd_pallas(
+            x, g, stats, w1_e, b1_e, w2_e, interpret=interpret
+        )
+        dw1_e = jnp.sum(dw1p, axis=0)                # (C, hid)
+        db1_e = jnp.sum(db1p, axis=(0, 1))           # (hid,)
+        dw2_e = jnp.sum(dw2p, axis=0)                # (hid, C)
+        db2_e = jnp.sum(db2p, axis=(0, 1))           # (C,)
 
     # unfold to the original params:
     #   w1_eff = gs[:,None]*w1,  b1_eff = gb@w1 + b1,
@@ -1121,27 +1891,38 @@ def _fused_mlp_block_bwd(res, g):
 fused_mlp_block.defvjp(_fused_mlp_block_fwd, _fused_mlp_block_bwd)
 
 
-@jax.custom_vjp
-def fused_mlp_block_pre(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_mlp_block_pre(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2,
+                        lane_fold=1):
     """MLP half consuming pre-reduced GN stats of x (stats chaining — see
     fused_mixer_block_stats).  `stats` MUST equal gn1_stats(x) numerically;
     its cotangent is zero because the GroupNorm backward reconstructs the
-    stats' dependence on x analytically."""
+    stats' dependence on x analytically.
+
+    With lane_fold=s>1, x is lane-folded (B, H, W/s, s*C): the kernel interior
+    is layout-agnostic, so folding is just block-diagonal weight expansion."""
     interpret = jax.default_backend() != "tpu"
     w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
     w2_e, b2_e = _fold_out(w2, b2, ls2)
+    if lane_fold > 1:
+        s = lane_fold
+        w1_e, b1_e = _bd_expand(w1_e, s), jnp.tile(b1_e, s)
+        w2_e, b2_e = _bd_expand(w2_e, s), jnp.tile(b2_e, s)
     return _mlp_block_pallas(x, stats, w1_e, b1_e, w2_e, b2_e,
                              interpret=interpret)
 
 
-def _fused_mlp_block_pre_fwd(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
-    out = fused_mlp_block_pre(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2)
+def _fused_mlp_block_pre_fwd(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2,
+                             lane_fold=1):
+    out = fused_mlp_block_pre(x, stats, gn_scale, gn_bias, w1, b1, w2, b2,
+                              ls2, lane_fold)
     return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats)
 
 
-def _fused_mlp_block_pre_bwd(res, g):
+def _fused_mlp_block_pre_bwd(lane_fold, res, g):
     stats = res[-1]
-    dx, dgs, dgb, dw1, db1, dw2, db2, dls2 = _fused_mlp_block_bwd(res, g)
+    dx, dgs, dgb, dw1, db1, dw2, db2, dls2 = _fused_mlp_block_bwd(
+        res, g, lane_fold=lane_fold)
     return dx, jnp.zeros_like(stats), dgs, dgb, dw1, db1, dw2, db2, dls2
 
 

@@ -29,7 +29,11 @@ def test_phi_scales(phi):
 
 
 def test_coc_variant_registry_complete():
-    assert set(COC_VARIANTS) == {"coc_small", "coc_medium", "coc_tiny", "coc_tiny2"}
+    # the reference's four published variants, plus the reduced-depth
+    # coc_dryrun used by the multichip dryrun's full-Pallas leg
+    assert set(COC_VARIANTS) == {
+        "coc_small", "coc_medium", "coc_tiny", "coc_tiny2", "coc_dryrun",
+    }
     v = COC_VARIANTS["coc_medium"]
     assert v.layers == (4, 4, 12, 4)
     assert v.heads == (6, 6, 12, 12)
