@@ -24,7 +24,7 @@ def _read_curve(path):
     with open(path) as f:
         for line in f:
             parts = line.split()
-            if len(parts) >= 2:
+            if parts:
                 vals.append(float(parts[-1]))
     return vals
 

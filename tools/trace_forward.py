@@ -19,6 +19,31 @@ import json
 import re
 
 
+def _device_events_from_xplane(trace_dir: str):
+    """Fallback: read the device plane straight from *.xplane.pb.
+
+    The chrome-trace json export caps at 1e6 events; the relay's host planes
+    can exhaust that alone, silently dropping the TPU plane (seen round 3).
+    The pb keeps everything.  Returns events in the json-event dict shape."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from xplane import load_xspace
+
+    pbs = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    if not pbs:
+        return []
+    out = []
+    for plane in load_xspace(pbs[-1]):
+        if "TPU" not in plane["name"]:
+            continue
+        for line in plane["lines"]:
+            for name, _off, dur in line["events"]:
+                out.append({"name": name, "dur": dur / 1e6, "args": {}})
+    return out
+
+
 def summarize(trace_dir: str, iters: int, top: int, show_copies: bool) -> None:
     files = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
     with gzip.open(files[-1]) as f:
@@ -32,6 +57,10 @@ def summarize(trace_dir: str, iters: int, top: int, show_copies: bool) -> None:
         e for e in d["traceEvents"]
         if e.get("ph") == "X" and e.get("pid") == dev_pid
     ]
+    if not allev:
+        allev = _device_events_from_xplane(trace_dir)
+        if allev:
+            print("(device plane absent from trace.json — read from xplane.pb)")
     # numeric-named spans are the per-dispatch parent regions: the honest
     # per-step device time (the chained-loop protocol overstates a step that
     # carries the full TrainState — see BENCH_NOTES round 2)
