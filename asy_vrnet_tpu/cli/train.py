@@ -46,6 +46,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat", default="none", choices=["none", "fusion", "stages"],
                    help="activation rematerialisation span (fit larger "
                         "batches in HBM at ~1 extra forward of the span)")
+    p.add_argument("--seg-signed-logits", action="store_true",
+                   help="corrected variant: drop the final seg ReLU so "
+                        "background logits can go negative (parity default "
+                        "keeps the reference's post-ReLU quirk)")
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--resume", help="orbax checkpoint path to resume from")
     p.add_argument("--weights", help=".npz weights for partial (shape-matched) init")
@@ -118,6 +122,7 @@ def resolve_config(args):
             num_seg_classes=("num_seg_classes", args.num_seg_classes),
             classes=("num_classes", num_classes),
             remat=("train_remat", args.remat),
+            seg_signed_logits=("seg_signed_logits", args.seg_signed_logits),
         )
         cfg = Config(
             model=model_over,
@@ -150,6 +155,7 @@ def resolve_config(args):
                 num_classes=num_classes, num_seg_classes=args.num_seg_classes,
                 phi=args.phi, input_size=(hw, hw), compute_dtype=args.compute_dtype,
                 train_remat=args.remat,
+                seg_signed_logits=args.seg_signed_logits,
             ),
             loss=LossConfig(
                 multitask_mode=args.multitask, max_boxes=args.max_boxes,

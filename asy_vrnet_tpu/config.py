@@ -95,6 +95,14 @@ class ModelConfig:
     # full-resolution layout costs ~20 ms/fwd of lane-padded copies at
     # bs=64).  Identical parameters; disable for bit-level fp32 parity runs.
     prestem_s2d: bool = True
+    # parity: the reference's seg head emits post-ReLU "logits"
+    # (coc_fpn_dual.py:15-26,164), which hard-clamps the background logit at
+    # 0 so it cannot out-compete object-logit bleed at upsampled boundaries
+    # (systematic halo dilation; measured mIoU plateau ~0.6-0.7 on an
+    # overfit set whose oracle mIoU is 0.99).  True = corrected variant:
+    # drop only that final ReLU.  Params identical either way, so weights
+    # are interchangeable.
+    seg_signed_logits: bool = False
     # Activation rematerialisation for training (trades ~1 extra forward of
     # the wrapped spans for not storing their internals; the reference's
     # fp16-AMP envelope trains at batch 16-32, train.py:86-90 — remat is how

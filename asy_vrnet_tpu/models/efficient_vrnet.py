@@ -35,6 +35,7 @@ class EfficientVRNet(nn.Module):
             use_pallas=cfg.use_pallas_cluster,
             prestem_s2d=cfg.prestem_s2d,
             remat=cfg.train_remat,
+            seg_signed_logits=cfg.seg_signed_logits,
             dtype=dtype,
             name="neck",
         )(image, radar, train=train)

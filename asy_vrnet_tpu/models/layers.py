@@ -47,6 +47,8 @@ def shuffle_perm(c: int, groups: int = 2):
 
 
 def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if name == "none":
+        return lambda x: x
     if name == "silu":
         return jax.nn.silu
     if name == "relu":

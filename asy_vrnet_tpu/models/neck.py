@@ -33,12 +33,13 @@ class CoCUpsample(nn.Module):
     features: int
     scale: int = 2
     ds_conv: bool = False
+    act: str = "relu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = ConvBnAct(
-            self.features, 1, act="relu", ds_conv=self.ds_conv,
+            self.features, 1, act=self.act, ds_conv=self.ds_conv,
             dtype=self.dtype, name="conv",
         )(x, train=train)
         return upsample2x(x, self.scale)
@@ -143,6 +144,13 @@ class CoCFpnDual(nn.Module):
     use_pallas: bool = False
     prestem_s2d: bool = True
     remat: str = "none"
+    # parity: the reference's final seg projection is a ConvBnAct, so its
+    # "logits" are post-ReLU (coc_fpn_dual.py:15-26,164) — the background
+    # logit saturates at exactly 0 and cannot out-compete object-logit bleed
+    # at upsampled boundaries (measured: 55% of halo false-positives have a
+    # hard-zero bg logit).  seg_signed_logits=True is the corrected variant
+    # (drop only the final ReLU; params identical, weights interchangeable).
+    seg_signed_logits: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -179,7 +187,9 @@ class CoCFpnDual(nn.Module):
         y = ShuffleAttention(groups=8, dtype=self.dtype, name="sc_attn_seg2")(y)
 
         seg = CoCUpsample(
-            self.num_seg_classes, scale=4, dtype=self.dtype, name="upsample2_0",
+            self.num_seg_classes, scale=4,
+            act="none" if self.seg_signed_logits else "relu",
+            dtype=self.dtype, name="upsample2_0",
         )(y, train=train)
 
         # ---------------- detection branch (radar taps) -------------------
