@@ -30,18 +30,28 @@ def _read_curve(path):
 
 
 def test_overfit_learnable_synthetic(tmp_path):
+    """Recipe proven on CPU (round 3): AP50 1.0 / mIoU 0.81 by epoch 300 of
+    a 1000-epoch cosine schedule (~90 min on a 1-core host; curves recorded
+    in BENCH_NOTES.md).
+
+    Uses the corrected seg head (--seg-signed-logits): the parity model's
+    post-ReLU seg logits clamp the background logit at 0, which structurally
+    dilates predicted masks and caps overfit mIoU at ~0.60 (at BOTH 64^2 and
+    128^2; analysis in BENCH_NOTES).  The training stack is identical either
+    way — the flag only drops the final ReLU."""
     from asy_vrnet_tpu.cli import train as train_cli
 
     save_dir = str(tmp_path / "logs")
-    epochs = int(os.environ.get("CONVERGENCE_EPOCHS", "60"))
+    epochs = int(os.environ.get("CONVERGENCE_EPOCHS", "1000"))
     train_cli.main([
         "--synthetic", "48", "--synthetic-learnable",
         "--input-size", "64",
         "--epochs", str(epochs),
         "--batch-size", "8",
-        "--optimizer", "adam", "--init-lr", "1e-3",
-        "--eval-period", "10",
-        "--save-period", "1000",
+        "--optimizer", "adam", "--init-lr", "1.5e-3",
+        "--no-ema", "--seg-signed-logits",
+        "--eval-period", "50",
+        "--save-period", "5000",
         "--compute-dtype", "float32",
         "--save-dir", save_dir,
     ])
