@@ -80,38 +80,45 @@ def space_to_depth(x: jnp.ndarray, p: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _s2d_conv_scatter(k: int, p: int, cin: int, cout: int):
+def _s2d_conv_scatter(k: int, ph: int, pw: int, cin: int, cout: int):
     """Index arrays mapping a (k,k,cin,cout) conv kernel into the equivalent
-    s2d-space kernel (kk,kk,p^2*cin,p^2*cout); kk = 2*ceil((k//2)/p)+1."""
+    s2d-space kernel for a (ph, pw) spatial fold: (kkh,kkw, ph*pw*cin,
+    ph*pw*cout), kk* = 2*ceil((k//2)/p*)+1.  ph=pw gives the square
+    space-to-depth geometry; (1, s) gives the W-only lane fold
+    (ops/block_pallas.py lane-folding note)."""
     import numpy as np
 
     r = k // 2
-    kk = 2 * ((r + p - 1) // p) + 1
-    off = kk // 2
+    kkh = 2 * ((r + ph - 1) // ph) + 1
+    kkw = 2 * ((r + pw - 1) // pw) + 1
+    offh, offw = kkh // 2, kkw // 2
     dst, src = [], []
-    for pi in range(p):
-        for pj in range(p):
+    for pi in range(ph):
+        for pj in range(pw):
             for di in range(-r, r + 1):
                 for dj in range(-r, r + 1):
-                    DI, si = divmod(pi + di, p)
-                    DJ, sj = divmod(pj + dj, p)
+                    DI, si = divmod(pi + di, ph)
+                    DJ, sj = divmod(pj + dj, pw)
                     for ci in range(cin):
                         for co in range(cout):
-                            dst.append((DI + off, DJ + off,
-                                        (si * p + sj) * cin + ci,
-                                        (pi * p + pj) * cout + co))
+                            dst.append((DI + offh, DJ + offw,
+                                        (si * pw + sj) * cin + ci,
+                                        (pi * pw + pj) * cout + co))
                             src.append((di + r, dj + r, ci, co))
     dst = tuple(np.asarray(a) for a in zip(*dst))
     src = tuple(np.asarray(a) for a in zip(*src))
-    return kk, dst, src
+    return (kkh, kkw), dst, src
 
 
-def s2d_conv_kernel(w: jnp.ndarray, p: int) -> jnp.ndarray:
+def s2d_conv_kernel(w: jnp.ndarray, p, ) -> jnp.ndarray:
     """Assemble the s2d-space kernel from a canonical (k,k,cin,cout) kernel
-    (differentiable scatter — gradients flow back to the canonical param)."""
+    (differentiable scatter — gradients flow back to the canonical param).
+    `p` is an int (square pxp fold) or a (ph, pw) pair; (1, s) is the
+    W-only lane fold."""
     k, _, cin, cout = w.shape
-    kk, dst, src = _s2d_conv_scatter(k, p, cin, cout)
-    zero = jnp.zeros((kk, kk, p * p * cin, p * p * cout), w.dtype)
+    ph, pw = (p, p) if isinstance(p, int) else p
+    (kkh, kkw), dst, src = _s2d_conv_scatter(k, ph, pw, cin, cout)
+    zero = jnp.zeros((kkh, kkw, ph * pw * cin, ph * pw * cout), w.dtype)
     return zero.at[dst].set(w[src])
 
 
@@ -224,10 +231,16 @@ class ConvBnAct(nn.Module):
     groups: int = 1
     s2d: int = 0
     s2d_segments: tuple = ()
+    # s2d_geom: (ph, pw) spatial fold geometry of the s2d layout; default is
+    # the square sqrt(g) x sqrt(g) space-to-depth.  (1, s) is the W-only
+    # lane fold used by the folded fusion stages.
+    s2d_geom: tuple = ()
     # in_perm: consume the input as if it had been channel-permuted by this
     # array (virtual x[j] = x_raw[in_perm_src[j]]) by indexing the canonical
     # kernel's rows at trace time — the actual permutation op never runs.
     # The array passed is R with kernel_eff = kernel[R] (R = argsort(perm)).
+    # Composable with s2d for 1x1 convs (the perm relabels CANONICAL input
+    # channels before the block-diagonal expansion).
     in_perm: tuple = ()
     dtype: Dtype = jnp.float32
 
@@ -235,8 +248,8 @@ class ConvBnAct(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel_size
         pad = (k - 1) // 2
-        if self.in_perm and not self.is_initializing():
-            assert k == 1 and not self.ds_conv and not self.s2d
+        if self.in_perm and not self.is_initializing() and not self.s2d:
+            assert k == 1 and not self.ds_conv
             import numpy as np
 
             wk = self.variables["params"]["conv"]["kernel"][0, 0]
@@ -250,15 +263,22 @@ class ConvBnAct(nn.Module):
             g = self.s2d
             wk = self.variables["params"]["conv"]["kernel"]
             if k == 1:
+                import numpy as np
+
+                w0 = wk[0, 0]
+                if self.in_perm:
+                    w0 = w0[np.asarray(self.in_perm)]
                 segs = self.s2d_segments or (wk.shape[2],)
-                kmat = s2d_pointwise_kernel(wk[0, 0], g, segs).astype(self.dtype)
+                kmat = s2d_pointwise_kernel(w0, g, segs).astype(self.dtype)
                 y = jnp.einsum("bhwk,kc->bhwc", x.astype(self.dtype), kmat)
             else:
-                kk = s2d_conv_kernel(wk, int(g ** 0.5)).astype(self.dtype)
-                off = kk.shape[0] // 2
+                assert not self.in_perm, "in_perm + s2d only for 1x1 convs"
+                geom = self.s2d_geom or (int(g ** 0.5), int(g ** 0.5))
+                kk = s2d_conv_kernel(wk, tuple(geom)).astype(self.dtype)
+                offh, offw = kk.shape[0] // 2, kk.shape[1] // 2
                 y = jax.lax.conv_general_dilated(
                     x.astype(self.dtype), kk, (1, 1),
-                    [(off, off), (off, off)],
+                    [(offh, offh), (offw, offw)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
             y = _s2d_batchnorm(self, y, g, train, 0.97, 1e-3, self.dtype)
@@ -458,11 +478,16 @@ class ShuffleAttention(nn.Module):
     # channel_shuffle(2); the caller folds that permutation into downstream
     # kernel rows (see RadarEnhanceByImage).
     skip_final_shuffle: bool = False
+    # s2d: the input is a flat s2d/lane-fold layout with this many
+    # sub-position groups (channel = p*C + c); per-ORIGINAL-channel stats
+    # are the grouped moments (exact same element sets), gates tile back.
+    s2d: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
+        b, h, w, cf = x.shape
+        c = cf // self.s2d if self.s2d else cf
         g = self.groups
         if c % (2 * g):
             # torch broadcast-fails identically (shuffle_attention.py:26-33);
@@ -500,8 +525,15 @@ class ShuffleAttention(nn.Module):
         xf = x.astype(f32)
         # one-pass moments: sum and sum-of-squares fuse into a single HBM
         # read (jnp.var's two-pass form costs an extra full pass at 512²)
-        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)      # (B,1,1,C)
-        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)      # (B,1,1,Cf)
+        m2 = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+        if self.s2d:
+            # per-original-channel stats: average the phase blocks (equal
+            # element counts -> exact full-resolution moments)
+            s = self.s2d
+            mean = jnp.mean(mean.reshape(b, 1, 1, s, c), axis=3)
+            m2 = jnp.mean(m2.reshape(b, 1, 1, s, c), axis=3)
+        var = m2 - jnp.square(mean)
 
         # Both gates collapse to one per-channel affine-in-x logit:
         #   spatial half:  sigmoid(sw*GN(x)+sb) = sigmoid(a*x + t),
@@ -515,6 +547,14 @@ class ShuffleAttention(nn.Module):
         sel = jnp.asarray(is_spatial)
         a = jnp.where(sel, a_sp, 0.0).astype(x.dtype)        # (B,1,1,C)
         t = jnp.where(sel, t_sp, t_ch).astype(x.dtype)
+        if self.s2d:
+            assert self.skip_final_shuffle, (
+                "folded ShuffleAttention requires the caller to fold the "
+                "trailing shuffle into downstream kernels"
+            )
+            a = jnp.tile(a, (1, 1, 1, self.s2d))
+            t = jnp.tile(t, (1, 1, 1, self.s2d))
+            return x * jax.nn.sigmoid(x * a + t)
         gate = jax.nn.sigmoid(x * a + t)
         if self.skip_final_shuffle:
             return x * gate

@@ -129,12 +129,14 @@ class ImageEnhanceByRadar(nn.Module):
 
     image_channels: int
     s2d: int = 0
+    s2d_geom: tuple = ()       # (ph, pw) fold geometry; (1, s) = lane fold
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, radar: jnp.ndarray, train: bool = False):
         key = ConvBnAct(
-            self.image_channels, 3, act="relu", s2d=self.s2d, dtype=self.dtype,
+            self.image_channels, 3, act="relu", s2d=self.s2d,
+            s2d_geom=self.s2d_geom, dtype=self.dtype,
             name="radar_projection",
         )(radar, train=train)
         gated = (1.0 + data_normal(key)) * image
@@ -160,6 +162,45 @@ class RadarEnhanceByImage(nn.Module):
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, radar: jnp.ndarray, train: bool = False):
+        if self.s2d and not self.initial:
+            # Lane-folded stage fusion (W-only fold, s2d groups = 128/C):
+            # the same perm-composition trick as the unfolded bf16 path
+            # below, with every op running on the dense 128-lane layout.
+            import numpy as np
+
+            from asy_vrnet_tpu.models.layers import shuffle_perm
+
+            g = self.s2d
+            ci_img = image.shape[-1] // g
+            ci_rad = radar.shape[-1] // g
+            c_tot = ci_img + ci_rad
+            s = shuffle_perm(c_tot, 2)
+            assert s is not None, "stage fusion channel count must be even"
+            image = ShuffleAttention(
+                groups=4, skip_final_shuffle=True, s2d=g, dtype=self.dtype,
+                name="image_attn",
+            )(image)
+            sa = shuffle_perm(ci_img, 2)
+            q = s.copy()
+            if sa is not None:
+                img_part = q < ci_img
+                q[img_part] = sa[q[img_part]]
+            fused = jnp.concatenate([image, radar], axis=-1)  # flat segments
+            fused = ECA(
+                s2d=g, s2d_segments=(ci_img, ci_rad),
+                channel_perm=tuple(int(v) for v in q), dtype=self.dtype,
+                name="channel_attn",
+            )(fused)
+            fused = ConvBnAct(
+                self.radar_channels, 1, act="relu", s2d=g,
+                s2d_segments=(ci_img, ci_rad),
+                in_perm=tuple(int(v) for v in np.argsort(q)),
+                dtype=self.dtype, name="inverse_projection",
+            )(fused, train=train)
+            fused = fused + radar
+            return BatchNorm2d(
+                s2d_groups=g, dtype=self.dtype, name="norm"
+            )(fused, train=train)
         if self.s2d:
             assert self.initial, "s2d fusion only exists pre-stem"
             g = self.s2d
@@ -238,51 +279,70 @@ class RadarEnhanceByImage(nn.Module):
         return BatchNorm2d(dtype=self.dtype, name="norm")(fused, train=train)
 
 
+def stage_lane_fold(shape, v: CoCVariant, i: int, use_pallas: bool,
+                    train: bool, initializing: bool) -> int:
+    """Lane-fold factor for stage i at UNFOLDED `shape` (1 = don't fold).
+
+    Lane folding (block_pallas.py lane-folding note): with C < 128 every
+    NHWC HBM buffer / DMA / VPU pass of these stages is 128/C lane-padded;
+    fold s = 128/C W-tokens into lanes ONCE, run all blocks' fused kernels
+    (and optionally the stage fusion) in the dense layout, unfold after.
+    Gated on every block in the stage taking the fused-kernel path."""
+    from asy_vrnet_tpu.ops.block_pallas import (
+        lane_fold_choice,
+        mixer_block_supported,
+        mlp_block_supported,
+    )
+
+    if not (
+        use_pallas
+        and not initializing
+        and v.drop_rate == 0.0
+        and (v.drop_path_rate == 0.0 or not train)
+        and mixer_block_supported(
+            shape, heads=v.heads[i], head_dim=v.head_dim[i],
+            fold_h=v.fold_h[i], fold_w=v.fold_w[i],
+            proposal_h=v.proposal_h[i], proposal_w=v.proposal_w[i],
+        )
+        and mlp_block_supported(shape)
+    ):
+        return 1
+    return lane_fold_choice(
+        shape, fold_h=v.fold_h[i], fold_w=v.fold_w[i],
+        inner=v.heads[i] * v.head_dim[i],
+    )
+
+
 class _Stage(nn.Module):
-    """layers[i] ClusterBlocks of one stream at one stage."""
+    """layers[i] ClusterBlocks of one stream at one stage.
+
+    lane_fold: 0 = auto (compute the fold factor, fold at entry, unfold at
+    exit — standalone use); s >= 1 = the caller already folded the input by
+    s (VRCoC keeps the folded layout across the stage AND its fusion)."""
 
     dim: int
     num_blocks: int
     stage_index: int
     variant: CoCVariant
     use_pallas: bool = False
+    lane_fold: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from asy_vrnet_tpu.ops.block_pallas import (
-            lane_fold_choice,
-            mixer_block_supported,
-            mlp_block_supported,
-        )
-
         v = self.variant
         i = self.stage_index
         total = sum(v.layers)
         prior = sum(v.layers[:i])
-        # Lane folding (block_pallas.py lane-folding note): with C < 128 every
-        # NHWC HBM buffer / DMA / VPU pass of these stages is 128/C
-        # lane-padded; fold s = 128/C W-tokens into lanes ONCE at stage entry,
-        # run all blocks' fused kernels in the dense layout, unfold at exit.
-        # Gated on every block in the stage taking the fused path.
-        s = 1
-        if (
-            self.use_pallas
-            and not self.is_initializing()
-            and v.drop_rate == 0.0
-            and (v.drop_path_rate == 0.0 or not train)
-            and mixer_block_supported(
-                x.shape, heads=v.heads[i], head_dim=v.head_dim[i],
-                fold_h=v.fold_h[i], fold_w=v.fold_w[i],
-                proposal_h=v.proposal_h[i], proposal_w=v.proposal_w[i],
+        auto = self.lane_fold == 0
+        s = (
+            stage_lane_fold(
+                x.shape, v, i, self.use_pallas, train, self.is_initializing()
             )
-            and mlp_block_supported(x.shape)
-        ):
-            s = lane_fold_choice(
-                x.shape, fold_h=v.fold_h[i], fold_w=v.fold_w[i],
-                inner=v.heads[i] * v.head_dim[i],
-            )
-        if s > 1:
+            if auto
+            else self.lane_fold
+        )
+        if auto and s > 1:
             b, h, w, c = x.shape
             x = x.reshape(b, h, w // s, s * c)
         for j in range(self.num_blocks):
@@ -302,7 +362,7 @@ class _Stage(nn.Module):
                 dtype=self.dtype,
                 name=f"block{j}",
             )(x, train=train)
-        if s > 1:
+        if auto and s > 1:
             x = x.reshape(b, h, w, c)
         return x
 
@@ -434,22 +494,44 @@ class VRCoC(nn.Module):
         outs: list[jnp.ndarray] = []
         outs_radar: list[jnp.ndarray] = []
         for i in range(num_stages):
+            # Lane-folded span (stage blocks + fusion): with C < 128 the
+            # whole span runs on the dense (B, H, W/s, s*C) layout — the
+            # fused block kernels natively, the fusion via s2d-group forms
+            # of conv/BN/ECA/ShuffleAttention (bf16 production path; f32
+            # keeps the literal unfolded ops for bit-level parity).
+            s = stage_lane_fold(
+                image.shape, v, i, self.use_pallas, train,
+                self.is_initializing(),
+            )
+            folded = s > 1 and jnp.dtype(self.dtype) == jnp.bfloat16
+            if folded:
+                b_, h_, w_, c_ = image.shape
+                image = image.reshape(b_, h_, w_ // s, s * c_)
+                radar = radar.reshape(b_, h_, w_ // s, s * c_)
             image = Stage(
                 dims[i], v.layers[i], i, v, use_pallas=self.use_pallas,
+                lane_fold=s if folded else 0,
                 dtype=self.dtype, name=f"stage{i}",
             )(image, train)
             radar = Stage(
                 dims[i], v.layers[i], i, v, use_pallas=self.use_pallas,
+                lane_fold=s if folded else 0,
                 dtype=self.dtype, name=f"stage{i}_radar",
             )(radar, train)
 
             # fusion: image first, radar uses the already-enhanced image.
             image = Enh(
-                dims[i], dtype=self.dtype, name=f"fusion{i}_image",
+                dims[i], s2d=s if folded else 0,
+                s2d_geom=(1, s) if folded else (),
+                dtype=self.dtype, name=f"fusion{i}_image",
             )(image, radar, train)
             radar = REnh(
-                dims[i], dtype=self.dtype, name=f"fusion{i}_radar",
+                dims[i], s2d=s if folded else 0,
+                dtype=self.dtype, name=f"fusion{i}_radar",
             )(image, radar, train)
+            if folded:
+                image = image.reshape(b_, h_, w_, c_)
+                radar = radar.reshape(b_, h_, w_, c_)
 
             if i == 0:
                 outs.append(image)          # stride-4 tap after stage-1 fusion

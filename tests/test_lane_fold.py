@@ -195,3 +195,128 @@ def test_stage_folding_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(vv), np.asarray(flat_u[kp]), atol=2e-3, rtol=2e-3,
             err_msg=str(kp))
+
+
+def test_shuffle_attention_s2d_matches():
+    from asy_vrnet_tpu.models.layers import ShuffleAttention
+
+    rng = np.random.default_rng(3)
+    c, s = 16, 8
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, c)), jnp.float32)
+    sa = ShuffleAttention(groups=4, skip_final_shuffle=True)
+    params = sa.init(jax.random.PRNGKey(0), x)["params"]
+    ref = sa.apply({"params": params}, x)
+    xf = x.reshape(2, 8, 32 // s, s * c)
+    sa_f = ShuffleAttention(groups=4, skip_final_shuffle=True, s2d=s)
+    out = sa_f.apply({"params": params}, xf).reshape(2, 8, 32, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_w_fold_conv_kernel_matches():
+    """(1, s) s2d conv kernel: folded 3x3 conv == unfolded 3x3 conv."""
+    from asy_vrnet_tpu.models.layers import s2d_conv_kernel
+
+    rng = np.random.default_rng(4)
+    cin, cout, s = 4, 16, 8
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xf = x.reshape(2, 8, 32 // s, s * cin)
+    kk = s2d_conv_kernel(w, (1, s))
+    offh, offw = kk.shape[0] // 2, kk.shape[1] // 2
+    out = jax.lax.conv_general_dilated(
+        xf, kk, (1, 1), [(offh, offh), (offw, offw)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = out.reshape(2, 8, 32, cout)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_folded_fusion_backbone_matches():
+    """VRCoC bf16 with folded stage+fusion spans == bf16 with folding
+    disabled (use_pallas=False path), to bf16/argmax-tie tolerance."""
+    from asy_vrnet_tpu.config import CoCVariant
+    from asy_vrnet_tpu.models.vr_coc import VRCoC
+
+    v = CoCVariant(
+        layers=(1, 1), embed_dims=(16, 32), mlp_ratios=(4, 4),
+        downsamples=(True, True), proposal_w=(2, 2), proposal_h=(2, 2),
+        fold_w=(4, 2), fold_h=(4, 2), heads=(4, 4), head_dim=(32, 32),
+        in_patch_size=4, in_stride=4, in_pad=0,
+    )
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.standard_normal((2, 256, 256, 3)), jnp.float32)
+    rad = jnp.asarray(rng.standard_normal((2, 256, 256, 4)), jnp.float32)
+    net_p = VRCoC(variant=v, use_pallas=True, dtype=jnp.bfloat16)
+    net_u = VRCoC(variant=v, use_pallas=False, dtype=jnp.bfloat16)
+    variables = net_u.init(jax.random.PRNGKey(0), img, rad)
+    outs_p = jax.jit(lambda vr: net_p.apply(vr, img, rad))(variables)
+    outs_u = jax.jit(lambda vr: net_u.apply(vr, img, rad))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(outs_p),
+                    jax.tree_util.tree_leaves(outs_u)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        close = np.isclose(a, b, atol=0.08, rtol=0.08)
+        assert close.mean() > 0.98, f"{a.shape}: {1 - close.mean():.4%}"
+
+
+def test_folded_fusion_grads_flow():
+    """Folded fusion backward == unfolded backward: exact in f32 (jittered
+    params — at the symmetric init several true grads are 0 and noise-vs-
+    noise comparison is meaningless); bf16 checked for flow/finiteness."""
+    from asy_vrnet_tpu.models.vr_coc import ImageEnhanceByRadar, RadarEnhanceByImage
+
+    rng = np.random.default_rng(6)
+    c, s = 16, 8
+    img32 = jnp.asarray(rng.standard_normal((2, 8, 64, c)), jnp.float32)
+    rad32 = jnp.asarray(rng.standard_normal((2, 8, 64, c)), jnp.float32)
+
+    def jitter(tree, key):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        keys = jax.random.split(key, len(leaves))
+        return treedef.unflatten([
+            l + 0.3 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ])
+
+    for dt, tol in ((jnp.float32, 2e-4), (jnp.bfloat16, 0.12)):
+        img, rad = img32.astype(dt), rad32.astype(dt)
+        imgf = img.reshape(2, 8, 64 // s, s * c)
+        radf = rad.reshape(2, 8, 64 // s, s * c)
+        enh_u = ImageEnhanceByRadar(c, dtype=dt)
+        renh_u = RadarEnhanceByImage(c, dtype=dt)
+        enh_f = ImageEnhanceByRadar(c, s2d=s, s2d_geom=(1, s), dtype=dt)
+        renh_f = RadarEnhanceByImage(c, s2d=s, dtype=dt)
+        ve = enh_u.init(jax.random.PRNGKey(0), img, rad, True)
+        vr = renh_u.init(jax.random.PRNGKey(1), img, rad, True)
+        ve = {**ve, "params": jitter(ve["params"], jax.random.PRNGKey(7))}
+        vr = {**vr, "params": jitter(vr["params"], jax.random.PRNGKey(8))}
+
+        def loss(mods, p, fold):
+            enh, renh = mods
+            i = imgf if fold else img
+            r = radf if fold else rad
+            i2, _ = enh.apply({"params": p[0], "batch_stats": ve["batch_stats"]},
+                              i, r, True, mutable=["batch_stats"])
+            r2, _ = renh.apply({"params": p[1], "batch_stats": vr["batch_stats"]},
+                               i2, r, True, mutable=["batch_stats"])
+            return (jnp.sum(i2.astype(jnp.float32) ** 2)
+                    + jnp.sum(r2.astype(jnp.float32) ** 2))
+
+        p0 = (ve["params"], vr["params"])
+        gu = jax.jit(jax.grad(lambda p: loss((enh_u, renh_u), p, False)))(p0)
+        gf = jax.jit(jax.grad(lambda p: loss((enh_f, renh_f), p, True)))(p0)
+        lu = jax.tree_util.tree_leaves_with_path(gu)
+        lf = dict(jax.tree_util.tree_leaves_with_path(gf))
+        assert len(lu) == len(lf)
+        gscale = max(np.abs(np.asarray(x, np.float32)).max() for _, x in lu)
+        assert np.isfinite(gscale) and gscale > 0
+        for kp, a in lu:
+            b = lf[kp]
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            np.testing.assert_allclose(b / gscale, a / gscale, atol=tol,
+                                       err_msg=f"{dt.__name__} {kp}")
