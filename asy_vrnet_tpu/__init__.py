@@ -17,33 +17,37 @@ if _plat:
             _jax.config.update("jax_platforms", _plat)
         if _plat != "cpu":
             # The pinned platform name can go stale (e.g. the TPU tunnel
-            # registered as "axon" in one image and plain "tpu" in the next).
-            # Fall back to automatic selection ONLY when the name is unknown
-            # — an init failure of a real backend (device busy: the tunnel is
-            # single-client) must stay a loud error, not a silent CPU run.
+            # registered as "axon" in one image and plain "tpu" in the
+            # next).  Check the NAME against the registered backend
+            # factories only — initializing devices at import time would
+            # contend with any running job on the single-client TPU tunnel,
+            # and a real init failure must surface at first use, loudly.
             try:
-                _jax.local_devices()
-            except RuntimeError as _e:
-                if "not in the list of known backends" in str(_e):
-                    _jax.config.update("jax_platforms", "")
-                    _os.environ["JAX_PLATFORMS"] = ""
-                else:
-                    raise
+                from jax._src import xla_bridge as _xb
+
+                _known = set(_xb._backend_factories)
+            except Exception:
+                _known = None  # private-API drift: keep the pin as-is
+            if _known is not None and not (set(_plat.split(",")) & _known):
+                _jax.config.update("jax_platforms", "")
+                _os.environ["JAX_PLATFORMS"] = ""
     except Exception:
         pass
 del _plat
 
 # Persistent XLA compilation cache: full-model TPU compiles take minutes
 # (27 fused-kernel instances + the conv graph); cache them across runs.
-# NOT for CPU runs: with the remote-compile relay active, cached CPU AOT
-# executables can carry another machine's ISA features (observed
-# "+prefer-no-gather not supported on the host" SIGILL warnings).
+# Only for an EXPLICITLY pinned non-cpu platform: auto-selected platforms
+# (empty JAX_PLATFORMS, incl. the stale-name fallback above) may resolve to
+# CPU, and with the remote-compile relay active, cached CPU AOT executables
+# can carry another machine's ISA features (observed "+prefer-no-gather not
+# supported on the host" SIGILL warnings).
 try:
     import jax as _jax
 
     if (
         _jax.config.jax_compilation_cache_dir is None
-        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"
+        and _os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
     ):
         _cache = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",

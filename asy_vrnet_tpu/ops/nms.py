@@ -24,7 +24,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from asy_vrnet_tpu.ops.boxes import pairwise_iou_xyxy  # noqa: F401 (oracle use)
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "num_candidates"))
