@@ -29,6 +29,20 @@ if _plat:
             except Exception:
                 _known = None  # private-API drift: keep the pin as-is
             if _known is not None and not (set(_plat.split(",")) & _known):
+                # Loud, because auto-selection can silently land on CPU.
+                # Most common cause in this image: PYTHONPATH was OVERRIDDEN
+                # (it must keep /root/.axon_site, whose sitecustomize
+                # registers the TPU relay backend).
+                import sys as _sys
+
+                print(
+                    f"[asy_vrnet_tpu] JAX_PLATFORMS={_plat!r} names no "
+                    f"registered backend (have {sorted(_known)}); clearing "
+                    "the pin — jax may auto-select CPU. If you expected the "
+                    "TPU relay, check that PYTHONPATH still includes the "
+                    "sitecustomize dir that registers it.",
+                    file=_sys.stderr,
+                )
                 _jax.config.update("jax_platforms", "")
                 _os.environ["JAX_PLATFORMS"] = ""
     except Exception:
