@@ -75,6 +75,13 @@ def compute_miou_dirs(
     """PNG-directory mIoU (compute_mIoU, utils_seg/utils_metrics.py:63-134).
 
     Returns (hist, IoUs, PA_Recall, Precision).
+
+    NOTE on console output: the progress / per-class lines below reproduce the
+    reference's print format (utils_seg/utils_metrics.py:104-135) VERBATIM by
+    design — downstream tooling that scrapes the reference's "===>" summary
+    lines keeps working unchanged.  This is intentional output-format parity,
+    not code reuse; the computation above is an independent numpy
+    implementation.
     """
     from PIL import Image
 
