@@ -43,9 +43,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(reference train.py focal_loss flag)")
     p.add_argument("--no-dice-loss", action="store_true",
                    help="disable the dice term (reference train.py dice_loss)")
-    p.add_argument("--remat", default="none", choices=["none", "fusion", "stages"],
+    p.add_argument("--remat", default="none",
+                   choices=["none", "fusion", "blocks", "stages"],
                    help="activation rematerialisation span (fit larger "
-                        "batches in HBM at ~1 extra forward of the span)")
+                        "batches in HBM at ~1 extra forward of the span); "
+                        "'blocks' checkpoints each ClusterBlock — half the "
+                        "activation count of 'none' at one extra mixer "
+                        "kernel per block, no conv recompute")
     p.add_argument("--seg-signed-logits", action="store_true",
                    help="corrected variant: drop the final seg ReLU so "
                         "background logits can go negative (parity default "

@@ -110,7 +110,13 @@ class ModelConfig:
     #   "none"   — store everything (fastest bwd, highest memory)
     #   "fusion" — remat stems + the per-stage fusion/enhance modules (the
     #              512^2 pre-stem activations dominate training memory)
+    #   "blocks" — "fusion" plus each ClusterBlock individually: stores one
+    #              activation per block (its input) instead of two (the
+    #              mixer-half and MLP-half inputs), recomputing only the
+    #              mixer forward kernel in the backward — the selective
+    #              policy for large per-chip batches (VERDICT r3 #4)
     #   "stages" — "fusion" plus every backbone stage's ClusterBlock stack
+    #              as one span (lowest memory, recomputes stage convs too)
     train_remat: str = "none"
 
     @property

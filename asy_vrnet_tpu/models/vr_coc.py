@@ -326,6 +326,12 @@ class _Stage(nn.Module):
     variant: CoCVariant
     use_pallas: bool = False
     lane_fold: int = 0
+    # "blocks" remat (config.py::train_remat): checkpoint each ClusterBlock —
+    # only the block INPUT is stored; the backward re-runs the mixer-half
+    # forward kernel to rebuild the MLP-half input (the block-half kernels'
+    # custom VJPs already remat their interiors in-VMEM, so per-block remat
+    # adds exactly one mixer forward kernel, no conv/fusion recompute).
+    remat_blocks: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -345,9 +351,14 @@ class _Stage(nn.Module):
         if auto and s > 1:
             b, h, w, c = x.shape
             x = x.reshape(b, h, w // s, s * c)
+        Block = (
+            nn.remat(ClusterBlock, static_argnums=(2,))
+            if self.remat_blocks
+            else ClusterBlock
+        )
         for j in range(self.num_blocks):
             dpr = v.drop_path_rate * (j + prior) / max(total - 1, 1)
-            x = ClusterBlock(
+            x = Block(
                 dim=self.dim,
                 mlp_ratio=v.mlp_ratios[i],
                 drop=v.drop_rate,
@@ -361,7 +372,7 @@ class _Stage(nn.Module):
                 lane_fold=s,
                 dtype=self.dtype,
                 name=f"block{j}",
-            )(x, train=train)
+            )(x, train)  # positional: nn.remat static_argnums=(2,) is `train`
         if auto and s > 1:
             x = x.reshape(b, h, w, c)
         return x
@@ -391,7 +402,7 @@ class VRCoC(nn.Module):
         # 512^2 the dominant activation cost) are recomputed in the backward.
         # train (the last positional arg) gates python BN branches -> static.
         Enh, REnh, Stage = ImageEnhanceByRadar, RadarEnhanceByImage, _Stage
-        if self.remat in ("fusion", "stages"):
+        if self.remat in ("fusion", "blocks", "stages"):
             Enh = nn.remat(ImageEnhanceByRadar, static_argnums=(3,))
             REnh = nn.remat(RadarEnhanceByImage, static_argnums=(3,))
         if self.remat == "stages":
@@ -511,11 +522,13 @@ class VRCoC(nn.Module):
             image = Stage(
                 dims[i], v.layers[i], i, v, use_pallas=self.use_pallas,
                 lane_fold=s if folded else 0,
+                remat_blocks=self.remat == "blocks",
                 dtype=self.dtype, name=f"stage{i}",
             )(image, train)
             radar = Stage(
                 dims[i], v.layers[i], i, v, use_pallas=self.use_pallas,
                 lane_fold=s if folded else 0,
+                remat_blocks=self.remat == "blocks",
                 dtype=self.dtype, name=f"stage{i}_radar",
             )(radar, train)
 

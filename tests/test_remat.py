@@ -22,7 +22,7 @@ def grad_by_mode():
     img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
     rad = jnp.asarray(rng.standard_normal((2, 64, 64, 4)), jnp.float32)
     out = {}
-    for remat in ("none", "fusion"):
+    for remat in ("none", "fusion", "blocks"):
         # prestem_s2d off: remat replay of the s2d assembled-kernel conv can
         # reassociate f32 sums enough to flip downstream cluster argmax ties,
         # which is the known "stages"-mode fuzz — this test isolates the
@@ -57,6 +57,20 @@ def test_fusion_remat_grads_exact(grad_by_mode):
     # remat and no-remat are separately-compiled XLA programs: f32
     # reassociation can flip near-tie cluster argmax assignments, causing
     # isolated elementwise grad differences — compare in aggregate
+    a = np.asarray(g0, np.float64)
+    b = np.asarray(g1, np.float64)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.01, f"whole-gradient relative L2 {rel}"
+
+
+def test_blocks_remat_grads_match(grad_by_mode):
+    """'blocks' checkpoints each ClusterBlock: the replayed mixer forward is
+    the same XLA program shape as the saved one, so loss must match exactly
+    and grads in aggregate (same near-tie argmax caveat as 'fusion')."""
+    l0, g0 = grad_by_mode["none"]
+    l1, g1 = grad_by_mode["blocks"]
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    assert np.isfinite(g1).all()
     a = np.asarray(g0, np.float64)
     b = np.asarray(g1, np.float64)
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
