@@ -66,3 +66,58 @@ def test_overfit_learnable_synthetic(tmp_path):
     assert ap_curve[-1] >= ap_curve[0] - 0.05
     assert ap50 >= 0.90, f"AP50 {ap50} < 0.90 — training stack does not converge"
     assert miou >= 0.80, f"mIoU {miou} < 0.80 — seg branch does not converge"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_CONVERGENCE_TPU"),
+    reason="real-TPU overfit run; set RUN_CONVERGENCE_TPU=1 "
+           "ASY_VRNET_TPU_TESTS=1 and run this test alone",
+)
+def test_overfit_tpu_production(tmp_path):
+    """Convergence of the PRODUCTION numerics on the TPU (VERDICT r3 #1).
+
+    Same learnable-synthetic overfit as above but with the exact
+    configuration bench.py measures: compute_dtype=bfloat16, the fused
+    Pallas block kernels (fwd AND custom-VJP bwd), prestem space-to-depth
+    and (at 512^2 geometry) lane-folded stage-1/2 kernels.  64^2 skips the
+    Pallas path entirely, so this runs at >=128^2; pass
+    CONVERGENCE_TPU_HW=512 for the full bench geometry (slower: the
+    lane-folded kernel variants only engage there).
+
+    Recorded results (model_data/convergence_tpu_r04/, BENCH_NOTES.md):
+    128^2 run reached AP50 0.996 / mIoU 0.859 by epoch 300.
+
+    Requires the session's axon TPU platform: conftest.py pins tests to CPU
+    unless ASY_VRNET_TPU_TESTS=1 is also set."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs the real TPU platform (set ASY_VRNET_TPU_TESTS=1)")
+
+    from asy_vrnet_tpu.cli import train as train_cli
+
+    save_dir = str(tmp_path / "logs")
+    hw = os.environ.get("CONVERGENCE_TPU_HW", "128")
+    epochs = int(os.environ.get("CONVERGENCE_EPOCHS", "1000"))
+    train_cli.main([
+        "--synthetic", "48", "--synthetic-learnable",
+        "--input-size", hw,
+        "--epochs", str(epochs),
+        "--batch-size", "8",
+        "--optimizer", "adam", "--init-lr", "1.5e-3",
+        "--no-ema", "--seg-signed-logits",
+        "--eval-period", "50",
+        "--save-period", "5000",
+        "--compute-dtype", "bfloat16",
+        "--save-dir", save_dir,
+    ])
+
+    ap_curve = _read_curve(os.path.join(save_dir, "epoch_map.txt"))
+    miou_curve = _read_curve(os.path.join(save_dir, "epoch_miou.txt"))
+    assert ap_curve and miou_curve
+    ap50 = max(ap_curve)
+    miou = max(miou_curve)
+    print(f"tpu production overfit: best AP50={ap50:.4f} best mIoU={miou:.4f}")
+    assert ap50 >= 0.95, f"AP50 {ap50} < 0.95 — bf16+Pallas numerics diverge"
+    # within ~0.03 of the fp32/CPU reference result (0.872, BENCH_NOTES r3)
+    assert miou >= 0.84, f"mIoU {miou} < 0.84 — bf16+Pallas seg numerics drift"
