@@ -391,14 +391,15 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
     ) + rs * bv_ref[0]
     oc = ((agg + vc) * icnt) * hmask_ref[:]      # (Hb, I)
     return (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps,
-            invr_ps, raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc)
+            invr_ps, raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc,
+            xn_blk)
 
 
 def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
                                bft_ref, wfrt_ref, bf_ref, wvrt_ref, bv_ref,
-                               w2_ref, b2t_ref, pool_ref, rep_ref, hmask_ref,
+                               w2t_ref, b2t_ref, pool_ref, rep_ref, hmask_ref,
                                headsel_ref, rmask_ref, rowhead_ref,
-                               blockmask_ref, eye_ref, out_ref, osum_ref, *,
+                               blockmask_ref, out_ref, osum_ref, *,
                                heads, m, gw, s, inner):
     from jax.experimental import pallas as pl
 
@@ -418,7 +419,7 @@ def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
     xnb_f = xn_f.astype(mxu)
 
     (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps, invr_ps,
-     raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc) = (
+     raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
         _mixer_block_fwd_body_folded(
             xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
             wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
@@ -426,24 +427,20 @@ def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
             heads=heads, m=m, gw=gw, s=s, inner=inner,
         ))
 
-    # [7] dispatch: fc2 on the centers, then per-p lane placement via
-    # identity-row slices (ocw @ eye[p*C:(p+1)*C] puts ocw in lane block p)
-    ocw = jax.lax.dot_general(
-        oc.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
+    # [7] dispatch via the lane-tiled fc2 weights (w2t: every p lane block ==
+    # w2), loop-free (r4 diet): one full-width dot against the WHOLE permuted
+    # sim plane — per-token contraction over Hb is unchanged, the dead lane
+    # blocks are masked off and the p row blocks fold by contiguous-slice
+    # sums (adding exact zeros), so the output is bit-identical to the former
+    # per-p identity-extraction loop.
+    ocw_t = jax.lax.dot_general(
+        oc.astype(mxu), w2t_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
-    )                                            # (Hb, C)
-    ocwb = ocw.astype(mxu)
-    y_f = None
-    for p in range(s):
-        ocw_p = jax.lax.dot_general(
-            ocwb, eye_ref[p * c : (p + 1) * c, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(mxu)                            # (Hb, sc), block p only
-        contrib = jax.lax.dot_general(
-            simb[:, p * ntf : (p + 1) * ntf], ocw_p, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )                                        # (ntf, sc)
-        y_f = contrib if y_f is None else y_f + contrib
+    ).astype(mxu)                                # (Hb, sc) lane-tiled
+    y_blk = jax.lax.dot_general(
+        simb, ocw_t, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    ) * blockmask_ref[:]                         # (Nt, sc)
+    y_f = sum(y_blk[p * ntf : (p + 1) * ntf, :] for p in range(s))
     out = xf + (y_f + b2t_ref[0])
     out_ref[0] = out.reshape(rh, wtf, sc).astype(out_ref.dtype)
     ob = out.astype(out_ref.dtype).astype(f32)
@@ -633,7 +630,6 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
     rowhead = jnp.asarray(_rowhead_matrix(gw, heads, m), mxu)
     rmask = jnp.asarray(_rmask_perm(gw, heads, m, rh, rw, s))
     blockmask = jnp.asarray(_fold_blockmask(nt, s, c), mxu)
-    eye_sc = jnp.eye(sc, dtype=mxu)
     params = jnp.stack([alpha.astype(f32), beta.astype(f32)])
 
     wfb = wf.astype(mxu)
@@ -659,10 +655,10 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
             const((sc, s * inner)), const((1, s * inner)),
             const((sc, inner)), const((1, inner)),
             const((sc, inner)), const((1, inner)),
-            const((inner, c)), const((1, sc)),
+            const((inner, sc)), const((1, sc)),
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
             const((inner, heads)), const((hb, nt)), const((hb, heads)),
-            const((nt, sc)), const((sc, sc)),
+            const((nt, sc)),
         ],
         out_specs=[
             tile,
@@ -684,9 +680,9 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
       _bd_expand(wfb, s), jnp.tile(bf, s)[None].astype(f32),
       _row_tile(wfb, s), bf[None].astype(f32),
       _row_tile(wvb, s), bv[None].astype(f32),
-      w2.astype(mxu), jnp.tile(b2, s)[None].astype(f32),
+      jnp.tile(w2.astype(mxu), (1, s)), jnp.tile(b2, s)[None].astype(f32),
       pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
-      jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask, eye_sc)
+      jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask)
 
 
 def _mixer_block_ref(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
@@ -765,7 +761,7 @@ def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
 
 def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
                              bft_ref, wfrt_ref, bf_ref, wvrt_ref, bv_ref,
-                             w2_ref, w2trt_ref, pool_ref, rep_ref, hmask_ref,
+                             w2trt_ref, pool_ref, rep_ref, hmask_ref,
                              headsel_ref, rmask_ref, rowhead_ref,
                              blockmask_ref, eye_ref, dxn_ref, dwftok_ref,
                              dwfcin_ref, dbftok_ref, dbfcin_ref, dwv_ref,
@@ -798,18 +794,20 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     xnb = xn.astype(mxu)
 
     (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps, invr_ps,
-     raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc) = (
+     raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
         _mixer_block_fwd_body_folded(
             xn, xnb, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
             wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
             rmask_ref, rowhead_ref, blockmask_ref,
             heads=heads, m=m, gw=gw, s=s, inner=inner,
         ))
-    ocw = jax.lax.dot_general(
-        oc.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
+    # lane-tiled fc2 centers (every p-block == the compact (Hb, C) ocw): the
+    # row-tiled w2^T gives it in ONE dot, replacing the per-p identity-slice
+    # extraction loops below (r4 diet)
+    ocw_t = jax.lax.dot_general(
+        oc.astype(mxu), w2trt_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32,
-    )                                                # (Hb, C)
-    ocwb = ocw.astype(mxu)
+    ).astype(mxu)                                    # (Hb, sc)
     gb = gout.astype(mxu)
     g_blk = jnp.concatenate([gb] * s, axis=0) * blockmask_ref[:]  # (Nt, sc)
 
@@ -832,12 +830,6 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     # oc = ((agg + vc) * icnt) * hmask; agg = aggx @ wv_e + rs * bv_e
     dagg = doc * icnt * hmask_ref[:]                 # (Hb, I) — also dvc
     daggb = dagg.astype(mxu)
-    # compact daggx via the p=0 rows of the row-tiled weights (== wv_e)
-    daggx = jax.lax.dot_general(
-        daggb, wvrt_ref[0:c, :], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )                                                # (Hb, C)
-    daggxb = daggx.astype(mxu)
     pdwv = jax.lax.dot_general(
         aggx_exp.astype(mxu), daggb, (((0,), (0,)), ((), ())),
         preferred_element_type=f32,
@@ -848,29 +840,25 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
         preferred_element_type=f32,
     )                                                # (1, I)
 
-    # per-p: dsim (from dispatch + aggregation), dxn (from both)
-    dsim_ps = []
-    dxn = None
-    for p in range(s):
-        eye_p = eye_ref[p * c : (p + 1) * c, :]      # (C, sc): lane block p
-        ocw_p = jax.lax.dot_general(
-            ocwb, eye_p, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        ).astype(mxu)                                # (Hb, sc)
-        daggx_p = jax.lax.dot_general(
-            daggxb, eye_p, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        ).astype(mxu)                                # (Hb, sc)
-        dsim_p = jax.lax.dot_general(
-            ocw_p, gb, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-        ) + jax.lax.dot_general(
-            daggx_p, xnb, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-        )                                            # (Hb, ntf)
-        dsim_ps.append(dsim_p)
-        sim_p = simb[:, p * ntf : (p + 1) * ntf]
-        dxn_p = jax.lax.dot_general(
-            sim_p, daggx_p, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-        )                                            # (ntf, sc)
-        dxn = dxn_p if dxn is None else dxn + dxn_p
-    dsim = jnp.concatenate(dsim_ps, axis=1) + drs    # (Hb, Nt)
+    # dsim (dispatch + aggregation cotangents) and the aggregation dxn,
+    # loop-free (r4 diet): the block-masked token copies g_blk/xn_blk confine
+    # each token row's contraction to its own p lane block, so ONE full-width
+    # dot per term replaces the former s-iteration extraction loop (per-token
+    # dot shapes unchanged — contraction stays over the live C block).
+    daggx_t = jax.lax.dot_general(
+        daggb, wvrt_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(mxu)                                    # (Hb, sc) lane-tiled
+    dsim = jax.lax.dot_general(
+        ocw_t, g_blk, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        daggx_t, xn_blk, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    ) + drs                                          # (Hb, Nt) permuted order
+    # dxn in block layout, folded by masked contiguous row-block sums
+    dxn_blk = jax.lax.dot_general(
+        simb, daggx_t, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    ) * blockmask_ref[:]                             # (Nt, sc)
+    dxn = sum(dxn_blk[p * ntf : (p + 1) * ntf, :] for p in range(s))
 
     # sim = sigmoid(beta + alpha * cos) * mask (mask, counts constant)
     sig = dsim * mask * sg * (1.0 - sg)
@@ -938,16 +926,19 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
         dvpb, wvrt_ref[0:c, :], (((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )                                                # (Mb, C)
-    dcinb = dcin.astype(mxu)
-    for p in range(s):
-        dcin_p = jax.lax.dot_general(
-            dcinb, eye_ref[p * c : (p + 1) * c, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(mxu)                                # (Mb, sc)
-        dxn = dxn + jax.lax.dot_general(
-            pool_ref[p * ntf : (p + 1) * ntf, :], dcin_p,
-            (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        )                                            # (ntf, sc)
+    # pool-transpose placement, loop-free (r4 diet): lane-tile dcin (summed
+    # identity rows of eye give the (C, sc) tiler), one full-pool dot, then
+    # the same masked row-block fold as dxn_blk above
+    eyet = sum(eye_ref[p * c : (p + 1) * c, :] for p in range(s))  # (C, sc)
+    dcin_t = jax.lax.dot_general(
+        dcin.astype(mxu), eyet, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(mxu)                                    # (Mb, sc) lane-tiled
+    dcin_blk = jax.lax.dot_general(
+        pool_ref[:], dcin_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) * blockmask_ref[:]                             # (Nt, sc)
+    dxn = dxn + sum(dcin_blk[p * ntf : (p + 1) * ntf, :] for p in range(s))
 
     # feat = xn @ wf_bd + bf_t
     dfb = dfeat_f.astype(mxu)
@@ -1354,7 +1345,7 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
             const((sc, s * inner)), const((1, s * inner)),
             const((sc, inner)), const((1, inner)),
             const((sc, inner)), const((1, inner)),
-            const((inner, c)), const((sc, inner)),
+            const((sc, inner)),
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
             const((inner, heads)), const((hb, nt)), const((hb, heads)),
             const((nt, sc)), const((sc, sc)),
@@ -1397,7 +1388,7 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
       _bd_expand(wfb, s), jnp.tile(bf_e, s)[None].astype(f32),
       _row_tile(wfb, s), bf_e[None].astype(f32),
       _row_tile(wvb, s), bv_e[None].astype(f32),
-      w2b, _row_tile(w2b.T, s),
+      _row_tile(w2b.T, s),
       pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
       jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask, eye_sc)
 
@@ -1557,9 +1548,21 @@ fused_mixer_block_stats.defvjp(
 # MLP half
 # ---------------------------------------------------------------------------
 
-def _mlp_rows(h: int, w: int) -> int:
-    """Rows per program: keep ~2048 tokens per tile, divide H evenly."""
-    th = max(1, 2048 // w)
+def _mlp_rows(h: int, w: int, hidden: int = 128) -> int:
+    """Rows per program: ~2048 tokens per tile, dividing H evenly.
+
+    ASY_MLP_VMEM_MB (perf A/B knob, default off) instead bounds the live
+    (nt, hidden) activation planes to that many MB at ~16 B/element (the bwd
+    kernel's z1/act/grad chains at peak) — relevant for the lane-folded
+    stage-1/2 MLPs whose hidden' = s*hidden = 1024 lanes make the fixed-2048
+    tile carry ~30 MB of planes."""
+    import os
+
+    mb = int(os.environ.get("ASY_MLP_VMEM_MB", "0"))
+    nt_cap = 2048
+    if mb:
+        nt_cap = min(2048, max(128, (mb * 1024 * 1024) // (16 * hidden)))
+    th = max(1, nt_cap // w)
     while h % th:
         th -= 1
     return th
@@ -1620,7 +1623,7 @@ def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False):
 
     b, h, w, c = x.shape
     hidden = w1.shape[1]
-    th = _mlp_rows(h, w)
+    th = _mlp_rows(h, w, hidden)
     mxu = x.dtype
     tile = pl.BlockSpec((1, th, w, c), lambda bi, i: (bi, i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -1662,6 +1665,31 @@ def _gelu_grad(z):
     return cdf + z * pdf
 
 
+def _gelu_act_and_grad(z):
+    """(GELU(z), GELU'(z)) sharing ONE erf_poly evaluation.
+
+    The A&S 7.1.26 polynomial's exp(-x^2) term at x = z/sqrt(2) IS the
+    Gaussian pdf's exp(-z^2/2), so activation + derivative together cost one
+    exp and one divide instead of the three exp / two divides of calling
+    _gelu_exactish and _gelu_grad separately — the backward kernel's VPU
+    transcendental budget halves.  The activation is bit-identical to
+    _gelu_exactish; the derivative matches _gelu_grad to ~1e-8 rel (the
+    0.7071...^2 vs 0.5 rounding of the exponent), inside the documented
+    _gelu_grad tolerance above."""
+    x = z * 0.7071067811865476
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    e = jnp.exp(-ax * ax)
+    cdf = 0.5 * (1.0 + sign * (1.0 - poly * e))
+    pdf = 0.3989422804014327 * e
+    return z * cdf, cdf + z * pdf
+
+
 def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
                     dxn_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dsum_ref):
     """Phase-1 fused backward of the MLP half.
@@ -1688,13 +1716,13 @@ def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
     z1 = jax.lax.dot_general(
         xnb, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
     ) + b1_ref[0]
-    hact = _gelu_exactish(z1)
+    hact, dgelu = _gelu_act_and_grad(z1)
 
     gb = gout.astype(mxu)
     dh = jax.lax.dot_general(                        # dy @ w2^T -> (nt, hid)
         gb, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
     )
-    dz1 = dh * _gelu_grad(z1)
+    dz1 = dh * dgelu
     dz1b = dz1.astype(mxu)
     dxn = jax.lax.dot_general(                       # dz1 @ w1^T -> (nt, C)
         dz1b, w1_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32,
@@ -1743,7 +1771,7 @@ def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False):
 
     b, h, w, c = x.shape
     hidden = w1_eff.shape[1]
-    th = _mlp_rows(h, w)
+    th = _mlp_rows(h, w, hidden)
     mxu = x.dtype
     f32 = jnp.float32
     tile = pl.BlockSpec((1, th, w, c), lambda bi, ti: (bi, ti, 0, 0),
