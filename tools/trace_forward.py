@@ -109,7 +109,7 @@ def main() -> None:
     ap.add_argument("--train", action="store_true", help="trace the train step")
     ap.add_argument("--copies", action="store_true", help="list largest copies")
     ap.add_argument("--remat", default="none",
-                    choices=["none", "fusion", "stages"])
+                    choices=["none", "fusion", "blocks", "stages"])
     ap.add_argument("--out", default="/tmp/jaxtrace_fwd")
     args = ap.parse_args()
 
