@@ -53,7 +53,13 @@ def _trace_device_events(trace_dir: str):
 
 
 def kernel_table(trace_dir: str, iters: int):
-    """Aggregate device time by op class (strip .N dedup suffixes)."""
+    """Aggregate device time by (op class, result shape).
+
+    Keying on the shape separates THIS process's kernels from any concurrent
+    TPU client's (the trace records the whole device timeline — a training
+    run sharing the chip lands its same-named kernels in the window; its
+    batch/tile shapes differ).  Shape is "?" for xplane.pb-fallback events.
+    """
     klass = lambda n: re.sub(r"\.\d+$", "", n)
     g = collections.Counter()
     cnt = collections.Counter()
@@ -61,9 +67,11 @@ def kernel_table(trace_dir: str, iters: int):
         n = e["name"]
         if n.isdigit() or n.startswith("jit_"):
             continue
-        g[klass(n)] += e["dur"]
-        cnt[klass(n)] += 1
-    return {n: (us / iters / 1e3, cnt[n] // iters) for n, us in g.items()}
+        shape = str(e.get("args", {}).get("shape_with_layout", "?"))[:40]
+        key = (klass(n), shape)
+        g[key] += e["dur"]
+        cnt[key] += 1
+    return {k: (us / iters / 1e3, cnt[k] / iters) for k, us in g.items()}
 
 
 def main() -> None:
@@ -166,11 +174,11 @@ def main() -> None:
     jax.profiler.stop_trace()
 
     table = kernel_table(args.out, args.iters)
-    print(f"\n{'op class':<52}{'ms/iter':>9} {'count':>6}")
-    for n, (ms, k) in sorted(table.items(), key=lambda t: -t[1][0]):
+    print(f"\n{'op class':<46}{'shape':<42}{'ms/iter':>9} {'count':>6}")
+    for (n, shape), (ms, k) in sorted(table.items(), key=lambda t: -t[1][0]):
         if ms < 0.02:
             continue
-        print(f"{n:<52}{ms:9.3f} {k:6d}")
+        print(f"{n:<46}{shape:<42}{ms:9.3f} {k:6.1f}")
 
 
 if __name__ == "__main__":
