@@ -154,6 +154,9 @@ class LossConfig:
     obj_weight: float = 2.0
     cls_weight: float = 2.0
     cls_balance_weights: tuple[float, ...] | None = None  # per-seg-class CE weights
+    # fused Pallas seg-loss+f_score kernel (ops/losses_seg_pallas.py):
+    # None = auto (TPU only), True/False force.  Same math as the jnp oracle.
+    use_pallas_seg: bool | None = None
 
 
 @dataclass(frozen=True)

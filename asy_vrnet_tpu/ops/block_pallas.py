@@ -129,8 +129,9 @@ def _mixer_block_fwd_body(xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref,
       [7] y    = sim^T @ (oc @ w2_e)         dispatch directly in OUTPUT
           space — fc2 folds into the (Hb, I) centers before the token pass
 
-    Returns (y, feat, cin, cn, inv, invr, raw, cos, s, mask, sim, icnt, rs,
-    aggx, oc, ocw) so the backward kernel can reuse the exact remat."""
+    Returns (y, feat, cin, cn, inv, invr, raw, cos, sgb, mask, sim, icnt, rs,
+    aggx, oc, ocw) so the backward kernel can reuse the exact remat (sgb is
+    the winner-plane sigmoid — the full sg plane is never built)."""
     f32 = jnp.float32
     mxu = xnb.dtype
     seg = gw * heads
@@ -177,22 +178,27 @@ def _mixer_block_fwd_body(xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref,
         preferred_element_type=f32,
     )                                           # (Hb, Nt)
     cos = raw * invr
-    s = jax.nn.sigmoid(beta + alpha * cos)
 
-    # first-max assignment over the m proposals of each (region, head)
+    # first-max assignment over the m proposals of each (region, head).
+    # r4 VPU diet: argmax on the PRE-sigmoid logit x = beta + alpha*cos —
+    # sigmoid is strictly increasing in x (whatever alpha's sign does to cos,
+    # it is inside x), so argmax_m sigmoid(x_m) == argmax_m x_m — and the
+    # sigmoid itself is evaluated only on the m-times-smaller winner plane.
     rmask = rmask_ref[:]
-    s_m = s * rmask + (rmask - 1.0)
-    best = s_m[0:seg]
+    x_sim = beta + alpha * cos
+    x_m = jnp.where(rmask > 0.0, x_sim, -1e30)
+    best = x_m[0:seg]
     arg = jnp.zeros_like(best, dtype=jnp.int32)
     for mm in range(1, m):
-        part = s_m[mm * seg : (mm + 1) * seg]
+        part = x_m[mm * seg : (mm + 1) * seg]
         better = part > best                    # strict > keeps the first max
         best = jnp.where(better, part, best)
         arg = jnp.where(better, mm, arg)
+    sgb = jax.nn.sigmoid(best)                  # (seg, Nt) winner sigmoids
     mask = jnp.concatenate(
         [(arg == mm).astype(f32) for mm in range(m)], axis=0
     ) * rmask                                   # (Hb, Nt)
-    sim = s * mask
+    sim = mask * jnp.concatenate([sgb] * m, axis=0)
     simb = sim.astype(mxu)
     counts = jnp.sum(mask, axis=1, keepdims=True)
     icnt = 1.0 / (counts + 1.0)
@@ -207,7 +213,7 @@ def _mixer_block_fwd_body(xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref,
         preferred_element_type=f32,
     ) + rs * bv_ref[0]
     oc = ((agg + vc) * icnt) * hmask_ref[:]     # (Hb, I)
-    return (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, s, mask,
+    return (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, sgb, mask,
             sim, simb, icnt, rs, aggx, oc)
 
 
@@ -360,21 +366,24 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
         raw_ps.append(raw_p)
         cos_ps.append(raw_p * invr_p)
     cos = jnp.concatenate(cos_ps, axis=1)        # (Hb, Nt) permuted order
-    sg = jax.nn.sigmoid(beta + alpha * cos)
 
+    # r4 VPU diet: argmax on the pre-sigmoid logit (see the unfolded body) —
+    # sigmoid only touches the m-times-smaller winner plane.
     rmask = rmask_ref[:]
-    s_m = sg * rmask + (rmask - 1.0)
-    best = s_m[0:seg]
+    x_sim = beta + alpha * cos
+    x_m = jnp.where(rmask > 0.0, x_sim, -1e30)
+    best = x_m[0:seg]
     arg = jnp.zeros_like(best, dtype=jnp.int32)
     for mm in range(1, m):
-        part = s_m[mm * seg : (mm + 1) * seg]
+        part = x_m[mm * seg : (mm + 1) * seg]
         better = part > best                     # strict > keeps the first max
         best = jnp.where(better, part, best)
         arg = jnp.where(better, mm, arg)
+    sgb = jax.nn.sigmoid(best)                   # (seg, Nt) winner sigmoids
     mask = jnp.concatenate(
         [(arg == mm).astype(f32) for mm in range(m)], axis=0
     ) * rmask                                    # (Hb, Nt)
-    sim = sg * mask
+    sim = mask * jnp.concatenate([sgb] * m, axis=0)
     simb = sim.astype(mxu)
     counts = jnp.sum(mask, axis=1, keepdims=True)
     icnt = 1.0 / (counts + 1.0)
@@ -391,8 +400,8 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
     ) + rs * bv_ref[0]
     oc = ((agg + vc) * icnt) * hmask_ref[:]      # (Hb, I)
     return (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps,
-            invr_ps, raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc,
-            xn_blk)
+            invr_ps, raw_ps, cos, sgb, mask, sim, simb, icnt, rs, aggx_exp,
+            oc, xn_blk)
 
 
 def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
@@ -419,7 +428,7 @@ def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
     xnb_f = xn_f.astype(mxu)
 
     (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps, invr_ps,
-     raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
+     raw_ps, cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
         _mixer_block_fwd_body_folded(
             xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
             wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
@@ -482,7 +491,7 @@ def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
     xn = (xf - mu) * rstd                       # GN1 sans affine (folded)
     xnb = xn.astype(mxu)
 
-    (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, s, mask, sim,
+    (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, sgb, mask, sim,
      simb, icnt, rs, aggx, oc) = _mixer_block_fwd_body(
         xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref, bv_ref, pool_ref,
         rep_ref, hmask_ref, headsel_ref, rmask_ref, rowhead_ref,
@@ -794,7 +803,7 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     xnb = xn.astype(mxu)
 
     (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps, invr_ps,
-     raw_ps, cos, sg, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
+     raw_ps, cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
         _mixer_block_fwd_body_folded(
             xn, xnb, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
             wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
@@ -860,8 +869,10 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     ) * blockmask_ref[:]                             # (Nt, sc)
     dxn = sum(dxn_blk[p * ntf : (p + 1) * ntf, :] for p in range(s))
 
-    # sim = sigmoid(beta + alpha * cos) * mask (mask, counts constant)
-    sig = dsim * mask * sg * (1.0 - sg)
+    # sim = sigmoid(x) * mask with x = beta + alpha*cos (mask, counts
+    # constant); sigmoid' only lives on the winner plane (r4 VPU diet)
+    sgg = sgb * (1.0 - sgb)
+    sig = dsim * mask * jnp.concatenate([sgg] * m, axis=0)
     dcos = sig * alpha
     d_alpha = jnp.sum(sig * cos)
     d_beta = jnp.sum(sig)
@@ -1023,7 +1034,7 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
     xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
     xnb = xn.astype(mxu)
 
-    (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, s, mask, sim,
+    (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, sgb, mask, sim,
      simb, icnt, rs, aggx, oc) = _mixer_block_fwd_body(
         xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref, bv_ref, pool_ref,
         rep_ref, hmask_ref, headsel_ref, rmask_ref, rowhead_ref,
@@ -1081,8 +1092,10 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
         simb, daggxb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
     )                                                # (Nt, C)
 
-    # sim = sigmoid(beta + alpha * cos) * mask (mask, counts constant)
-    sig = dsim * mask * s * (1.0 - s)
+    # sim = sigmoid(x) * mask with x = beta + alpha*cos (mask, counts
+    # constant); sigmoid' only lives on the winner plane (r4 VPU diet)
+    sgg = sgb * (1.0 - sgb)
+    sig = dsim * mask * jnp.concatenate([sgg] * m, axis=0)
     dcos = sig * alpha
     d_alpha = jnp.sum(sig * cos)
     d_beta = jnp.sum(sig)
@@ -1561,7 +1574,7 @@ def _mlp_rows(h: int, w: int, hidden: int = 128) -> int:
     mb = int(os.environ.get("ASY_MLP_VMEM_MB", "0"))
     nt_cap = 2048
     if mb:
-        nt_cap = min(2048, max(128, (mb * 1024 * 1024) // (16 * hidden)))
+        nt_cap = max(128, (mb * 1024 * 1024) // (16 * hidden))
     th = max(1, nt_cap // w)
     while h % th:
         th -= 1

@@ -62,6 +62,38 @@ def segmentation_loss(cfg: Config, seg_logits, seg_target, seg_onehot):
     return loss
 
 
+def seg_loss_and_fscore(cfg: Config, seg_logits, batch):
+    """(loss_seg, f_score) — fused Pallas kernel on TPU (one pass over
+    channel-major tiles, no materialised one-hot; ops/losses_seg_pallas.py),
+    oracle composition elsewhere.  bf16 logits I/O under a bf16 compute
+    dtype: bit-identical values to the model's pre-cast bf16 output."""
+    lcfg = cfg.loss
+    use_pallas = lcfg.use_pallas_seg
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        onehot = seg_onehot_of(batch, cfg.model.num_seg_classes)
+        loss = segmentation_loss(cfg, seg_logits, batch["seg_target"], onehot)
+        return loss, f_score(seg_logits, onehot)
+
+    from asy_vrnet_tpu.ops.losses_seg_pallas import fused_seg_loss_and_fscore
+
+    weights = (
+        jnp.asarray(lcfg.cls_balance_weights, jnp.float32)
+        if lcfg.cls_balance_weights is not None
+        else None
+    )
+    dt = jnp.dtype(cfg.model.compute_dtype)
+    if dt == jnp.bfloat16:
+        seg_logits = seg_logits.astype(dt)
+    return fused_seg_loss_and_fscore(
+        seg_logits, batch["seg_target"], weights, cfg.model.num_seg_classes,
+        use_focal=lcfg.focal_loss, focal_alpha=lcfg.focal_alpha,
+        focal_gamma=lcfg.focal_gamma, use_dice=lcfg.dice_loss,
+        use_pallas=True,
+    )
+
+
 def detection_loss(cfg: Config, det_outputs, batch):
     lcfg = cfg.loss
     return yolox_loss(
@@ -182,10 +214,7 @@ def build_train_step(
                 image, batch["radar"], train=True,
                 mutable=["batch_stats"],
             )
-            onehot = seg_onehot_of(batch, cfg.model.num_seg_classes)
-            loss_seg = segmentation_loss(
-                cfg, seg, batch["seg_target"], onehot
-            )
+            loss_seg, fsc = seg_loss_and_fscore(cfg, seg, batch)
             loss_det, aux = detection_loss(cfg, det, batch)
             total = combine_losses(cfg, loss_det, loss_seg, log_var)
             metrics = {
@@ -193,7 +222,7 @@ def build_train_step(
                 "loss_det": loss_det,
                 "loss_seg": loss_seg,
                 "num_fg": aux.num_fg,
-                "f_score": f_score(seg, onehot),
+                "f_score": fsc,
             }
             return total, (mutated["batch_stats"], metrics)
 
@@ -241,14 +270,13 @@ def build_eval_step(model, cfg: Config) -> Callable[[dict, dict], dict]:
             variables, maybe_normalize_image_device(batch["image"]),
             batch["radar"], train=False,
         )
-        onehot = seg_onehot_of(batch, cfg.model.num_seg_classes)
-        loss_seg = segmentation_loss(cfg, seg, batch["seg_target"], onehot)
+        loss_seg, fsc = seg_loss_and_fscore(cfg, seg, batch)
         loss_det, aux = detection_loss(cfg, det, batch)
         return {
             "loss_det": loss_det,
             "loss_seg": loss_seg,
             "loss": loss_det + loss_seg,
-            "f_score": f_score(seg, onehot),
+            "f_score": fsc,
             "num_fg": aux.num_fg,
         }
 

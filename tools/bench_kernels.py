@@ -78,6 +78,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--hw", type=int, default=512)
+    ap.add_argument("--width", type=float, default=0.25,
+                    help="backbone width multiplier (0.25 = phi=nano, the "
+                         "flagship/bench geometry; 1.0 = unscaled coc_small)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--stages", default="0,1,2,3")
     ap.add_argument("--mlp", action="store_true", help="also bench the MLP half")
@@ -98,7 +101,7 @@ def main() -> None:
     )
 
     v = COC_VARIANTS["coc_small"]
-    dims = v.scaled_dims(1.0) if hasattr(v, "scaled_dims") else (16, 32, 80, 128)
+    dims = v.scaled_dims(args.width)
     stages = [int(s) for s in args.stages.split(",")]
     rng = np.random.default_rng(0)
     mxu = jnp.bfloat16
