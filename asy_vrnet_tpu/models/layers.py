@@ -80,83 +80,72 @@ def space_to_depth(x: jnp.ndarray, p: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _s2d_conv_scatter(k: int, ph: int, pw: int, cin: int, cout: int):
-    """Index arrays mapping a (k,k,cin,cout) conv kernel into the equivalent
-    s2d-space kernel for a (ph, pw) spatial fold: (kkh,kkw, ph*pw*cin,
-    ph*pw*cout), kk* = 2*ceil((k//2)/p*)+1.  ph=pw gives the square
-    space-to-depth geometry; (1, s) gives the W-only lane fold
-    (ops/block_pallas.py lane-folding note)."""
+def _s2d_conv_placement(k: int, ph: int, pw: int):
+    """Static 0/1 placement tensor mapping a (k,k,·,·) conv kernel into the
+    equivalent s2d-space kernel for a (ph, pw) spatial fold: M has shape
+    (k, k, ph*pw [p-index], kkh, kkw, ph*pw [s-index]) with at most one
+    nonzero (di,dj) per output cell; kk* = 2*ceil((k//2)/p*)+1.  ph=pw gives
+    the square space-to-depth geometry; (1, s) is the W-only lane fold
+    (ops/block_pallas.py lane-folding note).  Channel blocks ride along
+    untouched, so the kernel assembly is ONE einsum against M — the former
+    element-wise scatter (and its gather transpose in the backward) cost
+    ~2 ms/step of sort-scatter fusions at bs=64 (round-4 trace)."""
     import numpy as np
 
     r = k // 2
     kkh = 2 * ((r + ph - 1) // ph) + 1
     kkw = 2 * ((r + pw - 1) // pw) + 1
     offh, offw = kkh // 2, kkw // 2
-    dst, src = [], []
+    m = np.zeros((k, k, ph * pw, kkh, kkw, ph * pw), np.float32)
     for pi in range(ph):
         for pj in range(pw):
             for di in range(-r, r + 1):
                 for dj in range(-r, r + 1):
                     DI, si = divmod(pi + di, ph)
                     DJ, sj = divmod(pj + dj, pw)
-                    for ci in range(cin):
-                        for co in range(cout):
-                            dst.append((DI + offh, DJ + offw,
-                                        (si * pw + sj) * cin + ci,
-                                        (pi * pw + pj) * cout + co))
-                            src.append((di + r, dj + r, ci, co))
-    dst = tuple(np.asarray(a) for a in zip(*dst))
-    src = tuple(np.asarray(a) for a in zip(*src))
-    return (kkh, kkw), dst, src
+                    m[di + r, dj + r, pi * pw + pj,
+                      DI + offh, DJ + offw, si * pw + sj] = 1.0
+    return (kkh, kkw), m
 
 
 def s2d_conv_kernel(w: jnp.ndarray, p, ) -> jnp.ndarray:
     """Assemble the s2d-space kernel from a canonical (k,k,cin,cout) kernel
-    (differentiable scatter — gradients flow back to the canonical param).
+    (differentiable — gradients flow back to the canonical param).
     `p` is an int (square pxp fold) or a (ph, pw) pair; (1, s) is the
     W-only lane fold."""
     k, _, cin, cout = w.shape
     ph, pw = (p, p) if isinstance(p, int) else p
-    (kkh, kkw), dst, src = _s2d_conv_scatter(k, ph, pw, cin, cout)
-    zero = jnp.zeros((kkh, kkw, ph * pw * cin, ph * pw * cout), w.dtype)
-    return zero.at[dst].set(w[src])
-
-
-@functools.lru_cache(maxsize=None)
-def _s2d_pw_scatter(g: int, segments: tuple, cout: int):
-    """Scatter indices for a 1x1 conv in the flat s2d layout.
-
-    Input channels are a concat of s-major segments (each segment lists its
-    orig-channel count; segment j's flat channel (s, ci) sits at
-    offset_j*g + s*seg_j + ci and corresponds to canonical input channel
-    sum(segments[:j]) + ci).  Output is flat s-major (s, co)."""
-    import numpy as np
-
-    rows_s, rows_ci = [], []
-    coff = 0
-    for seg in segments:
-        for s in range(g):
-            for ci in range(seg):
-                rows_s.append(s)
-                rows_ci.append(coff + ci)
-        coff += seg
-    rows_s = np.asarray(rows_s)
-    rows_ci = np.asarray(rows_ci)
-    n = len(rows_s)
-    row_idx = np.repeat(np.arange(n), cout)
-    col_idx = np.repeat(rows_s, cout) * cout + np.tile(np.arange(cout), n)
-    src_r = np.repeat(rows_ci, cout)
-    src_c = np.tile(np.arange(cout), n)
-    return (row_idx, col_idx), (src_r, src_c), n
+    (kkh, kkw), m = _s2d_conv_placement(k, ph, pw)
+    kk = jnp.einsum(
+        "xypABs,xyio->ABsipo", jnp.asarray(m, w.dtype), w,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return kk.reshape(kkh, kkw, ph * pw * cin, ph * pw * cout)
 
 
 def s2d_pointwise_kernel(w: jnp.ndarray, g: int, segments) -> jnp.ndarray:
     """Block-diagonal flat-s2d kernel for a canonical 1x1 conv kernel
-    w (cin_total, cout); returns (g*cin_total, g*cout).  Differentiable."""
+    w (cin_total, cout); returns (g*cin_total, g*cout).  Differentiable.
+
+    Input channels are a concat of s-major segments (each segment lists its
+    orig-channel count; segment j's flat channel (s, ci) sits at
+    offset_j*g + s*seg_j + ci and corresponds to canonical input channel
+    sum(segments[:j]) + ci).  Output is flat s-major (s, co).  Built as
+    per-segment Kronecker placements (einsum against eye(g)) instead of an
+    element-wise scatter — see _s2d_conv_placement."""
     cin_total, cout = w.shape
-    dst, src, n = _s2d_pw_scatter(g, tuple(segments), cout)
-    zero = jnp.zeros((n, g * cout), w.dtype)
-    return zero.at[dst].set(w[src])
+    eye = jnp.eye(g, dtype=w.dtype)
+    blocks = []
+    coff = 0
+    for seg in segments:
+        wj = w[coff : coff + seg]                     # (seg, cout)
+        blk = jnp.einsum(
+            "sS,io->siSo", eye, wj,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(g * seg, g * cout)
+        blocks.append(blk)
+        coff += seg
+    return jnp.concatenate(blocks, axis=0)
 
 
 def _s2d_batchnorm(mod: nn.Module, x: jnp.ndarray, g: int, train: bool,

@@ -34,10 +34,10 @@ import numpy as np
 
 _NQ = 16          # accumulator sublanes
 
-# accumulator layout: block (16, 128) f32, [sublane, lane]
-#   row 0, lanes 0..3   : ce_num, ce_den, focal_sum, npix
-#   rows 1..5           : per-class vectors in lanes 0..C-1:
-#                         tp, sum_p, sum_t, tp_f, sum_pred
+# accumulator layout: block (6, 16, 128) f32 [quantity, sublane, lane]
+#   block 0, sublane 0, lanes 0..3: ce_num, ce_den, focal_sum, npix
+#   blocks 1..5, sublanes 0..C-1, lane 0: per-class tp, sum_p, sum_t,
+#   tp_f, sum_pred
 
 
 def _softmax_tile(lt):
@@ -77,30 +77,25 @@ def _seg_loss_fwd_kernel(w_ref, x_ref, t_ref, acc_ref, *, c, alpha, gamma,
     # dice / f_score per-class sums (probs over ALL pixels; ignored targets
     # contribute to sum_p/sum_pred only — exactly the oracle's fp behaviour)
     preds = (probs > threshold).astype(f32)
-    tp = jnp.sum(onehot * probs, axis=(1, 2), keepdims=True)[:, 0]   # (C, 1)
-    sp = jnp.sum(probs, axis=(1, 2), keepdims=True)[:, 0]
-    st = jnp.sum(onehot, axis=(1, 2), keepdims=True)[:, 0]
-    tpf = jnp.sum(onehot * preds, axis=(1, 2), keepdims=True)[:, 0]
-    spr = jnp.sum(preds, axis=(1, 2), keepdims=True)[:, 0]
+
+    def csum(x3):                                 # (C, TH, W) -> (C, 1)
+        return jnp.sum(jnp.sum(x3, axis=2, keepdims=True), axis=1)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (_NQ, 128), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (_NQ, 128), 0)
-    acc = jnp.where(
-        sub == 0,
+    scal = (
         jnp.where(lane == 0, jnp.sum(nll), 0.0)
         + jnp.where(lane == 1, jnp.sum(w_t), 0.0)
         + jnp.where(lane == 2, jnp.sum(focal), 0.0)
-        + jnp.where(lane == 3, f32(th * w), 0.0),
-        0.0,
-    )
-    diag = (lane == sub).astype(f32)              # [j, j] = 1
-    for row, vec in ((1, tp), (2, sp), (3, st), (4, tpf), (5, spr)):
-        # place vec[j] at [row, j]: vec (C,1) broadcasts across lanes; the
-        # diagonal mask keeps lane j of sublane j; the sublane fold then
-        # drops it into a (1, 128) row
-        vpad = jnp.pad(vec, ((0, _NQ - c), (0, 0)))          # (_NQ, 1)
-        folded = jnp.sum(diag * vpad, axis=0, keepdims=True)  # (1, 128)
-        acc = acc + jnp.where(sub == row, folded, 0.0)
+        + jnp.where(lane == 3, f32(th * w), 0.0)
+    )                                             # (_NQ, 128), rows equal
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_NQ, 128), 0)
+    blocks = [jnp.where(sub == 0, scal, 0.0)[None]]
+    zpad = jnp.zeros((_NQ - c, 1), f32)
+    for vec in (csum(onehot * probs), csum(probs), csum(onehot),
+                csum(onehot * preds), csum(preds)):
+        vp = jnp.concatenate([vec, zpad], axis=0)            # (_NQ, 1)
+        blocks.append(jnp.where(lane == 0, vp, 0.0)[None])   # (1, _NQ, 128)
+    acc = jnp.concatenate(blocks, axis=0)                    # (6, _NQ, 128)
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -188,9 +183,9 @@ def _seg_sums_pallas(logits_t, target, cls_weights, c, alpha, gamma,
             pl.BlockSpec((1, th, w), lambda bi, hi: (bi, hi, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_NQ, 128), lambda bi, hi: (0, 0),
+        out_specs=pl.BlockSpec((6, _NQ, 128), lambda bi, hi: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_NQ, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((6, _NQ, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=b * h * w * c * 30,
             bytes_accessed=b * h * w * (c * logits_t.dtype.itemsize + 4),
@@ -243,11 +238,11 @@ def _seg_dlogits_pallas(logits_t, target, cls_weights, coef, c, alpha, gamma,
 
 def _losses_from_acc(acc, c, use_focal, use_dice, dice_beta, dice_smooth,
                      fs_beta, fs_smooth):
-    """Scalar losses + f_score from the (16, 128) sums block (f32 epilogue)."""
-    ce_num, ce_den = acc[0, 0], acc[0, 1]
-    focal_sum, npix = acc[0, 2], acc[0, 3]
-    tp, sp, st = acc[1, :c], acc[2, :c], acc[3, :c]
-    tpf, spr = acc[4, :c], acc[5, :c]
+    """Scalar losses + f_score from the (6, 16, 128) sums block (f32)."""
+    ce_num, ce_den = acc[0, 0, 0], acc[0, 0, 1]
+    focal_sum, npix = acc[0, 0, 2], acc[0, 0, 3]
+    tp, sp, st = acc[1, :c, 0], acc[2, :c, 0], acc[3, :c, 0]
+    tpf, spr = acc[4, :c, 0], acc[5, :c, 0]
 
     if use_focal:
         loss = focal_sum / npix
@@ -298,7 +293,7 @@ def _fused_seg_core_bwd(c, use_focal, alpha, gamma, use_dice, dice_beta,
     # per-class dice coefficients of dL/dp_c = A_c * onehot_c + B_c
     if use_dice:
         b2 = dice_beta**2
-        tp, sp, st = acc[1, :c], acc[2, :c], acc[3, :c]
+        tp, sp, st = acc[1, :c, 0], acc[2, :c, 0], acc[3, :c, 0]
         u = (1.0 + b2) * tp + dice_smooth
         v = b2 * st + sp + dice_smooth
         # L_dice = 1 - mean_c u/v; d/dtp = -(1+b2)/(c v); d/dsum_p = u/(c v^2)
@@ -308,9 +303,9 @@ def _fused_seg_core_bwd(c, use_focal, alpha, gamma, use_dice, dice_beta,
         a_c = jnp.zeros((c,), jnp.float32)
         b_c = jnp.zeros((c,), jnp.float32)
     if use_focal:
-        pixscale = gloss / acc[0, 3]              # / npix
+        pixscale = gloss / acc[0, 0, 3]           # / npix
     else:
-        pixscale = gloss / jnp.maximum(acc[0, 1], 1e-12)
+        pixscale = gloss / jnp.maximum(acc[0, 0, 1], 1e-12)
     coef = jnp.zeros((257,), jnp.float32)
     coef = coef.at[:c].set(a_c).at[128 : 128 + c].set(b_c)
     coef = coef.at[256].set(pixscale)
