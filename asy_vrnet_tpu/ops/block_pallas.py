@@ -286,6 +286,20 @@ def _fold_blockmask(nt: int, s: int, c: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _headsel_bd(gw: int, heads: int, m: int, inner: int, s: int) -> np.ndarray:
+    """(s*inner, s*heads) block-diagonal head selector: column (p*heads + h)
+    sums the head-h channel block of sub-position p.  One full-width matmul
+    against it computes all s*heads per-token head norms at once
+    (normalize-first similarity, r4)."""
+    sel = np.asarray(_replication_and_masks(gw, heads, m, inner)[2],
+                     np.float32)                       # (inner, heads)
+    out = np.zeros((s * inner, s * heads), np.float32)
+    for p in range(s):
+        out[p * inner : (p + 1) * inner, p * heads : (p + 1) * heads] = sel
+    return out
+
+
 def _bd_expand(w: jnp.ndarray, s: int) -> jnp.ndarray:
     """(a, b) -> (s*a, s*b) block-diagonal (trace-time, tiny operands)."""
     import jax.scipy.linalg as jsl
@@ -299,12 +313,20 @@ def _row_tile(w: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
                                  wfrt_ref, bf_ref, wvrt_ref, bv_ref, pool_ref,
-                                 rep_ref, hmask_ref, headsel_ref, rmask_ref,
-                                 rowhead_ref, blockmask_ref, *, heads, m, gw,
+                                 rep_ref, hmask_ref, selbd_ref, rmask_ref,
+                                 selbdT_ref, blockmask_ref, *, heads, m, gw,
                                  s, inner):
     """Folded-token forward interior over (ntf, s*C) rows (see the lane
     folding note above).  Numerically the same contractions as
-    _mixer_block_fwd_body up to f32 reassociation of the token order."""
+    _mixer_block_fwd_body up to f32 reassociation of the token order and the
+    normalize-first similarity (r4): tokens are normalised per head BEFORE
+    the cos matmuls (two full-width matmuls + one multiply), so the former
+    per-p norm2/inverse-row-expand small-matmul chain — 2 serialized small
+    dots + an (Hb, ntf) f32 multiply per sub-position — disappears.  Exact
+    up to bf16 reassociation: the center rows are hmask-ed to their head's
+    channel block, so cross-head inv factors multiply exact zeros.  Measured
+    (tools/ablate_mixer_fwd.py, stage-0 production geometry): the similarity
+    chain drops 1.87 -> 0.95 ms/invocation, kernel 2.57 -> 1.70 ms."""
     f32 = jnp.float32
     mxu = xnb_f.dtype
     seg = gw * heads
@@ -315,7 +337,6 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
         xnb_f, wfbd_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     ) + bft_ref[0]
-    featb_f = feat_f.astype(mxu)
 
     # sublane-tiled + block-masked token copy for full-width Nt contractions
     xn_blk = jnp.concatenate([xnb_f] * s, axis=0) * blockmask_ref[:]  # (Nt, sc)
@@ -341,30 +362,29 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
     cn = c_rep * inv_c                           # (Hb, I)
     cnb = cn.astype(mxu)
 
-    # [3][4][5] per sub-position p: head norms, row-expanded inverses,
-    # similarity — all lane slices are I- or ntf-aligned (128 multiples)
-    inv_ps, invr_ps, raw_ps, cos_ps = [], [], [], []
-    for p in range(s):
-        feat_p = featb_f[:, p * inner : (p + 1) * inner]      # (ntf, I)
-        fp32 = feat_f[:, p * inner : (p + 1) * inner]
-        f2_p = (fp32 * fp32).astype(mxu)
-        norm2_p = jax.lax.dot_general(
-            f2_p, headsel_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )                                        # (ntf, heads)
-        inv_p = jax.lax.rsqrt(norm2_p + 1e-12)
-        invr_p = jax.lax.dot_general(
-            rowhead_ref[:], inv_p.astype(mxu), (((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )                                        # (Hb, ntf)
-        raw_p = jax.lax.dot_general(
-            cnb, feat_p, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )                                        # (Hb, ntf)
-        inv_ps.append(inv_p)
-        invr_ps.append(invr_p)
-        raw_ps.append(raw_p)
-        cos_ps.append(raw_p * invr_p)
+    # [3][4] normalize-first: all s*heads per-token norms in ONE matmul, the
+    # head-inverse expansion in ONE matmul, one full-width multiply
+    f2 = (feat_f * feat_f).astype(mxu)           # (ntf, s*I)
+    norm2 = jax.lax.dot_general(
+        f2, selbd_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                            # (ntf, s*heads)
+    inv = jax.lax.rsqrt(norm2 + 1e-12)
+    headexp = jax.lax.dot_general(
+        inv.astype(mxu), selbdT_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                            # (ntf, s*I)
+    featn_f = feat_f * headexp
+    featn_b = featn_f.astype(mxu)
+
+    # [5] similarity: one clean (Hb, ntf) matmul per sub-position
+    cos_ps = [
+        jax.lax.dot_general(
+            cnb, featn_b[:, p * inner : (p + 1) * inner],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )
+        for p in range(s)
+    ]
     cos = jnp.concatenate(cos_ps, axis=1)        # (Hb, Nt) permuted order
 
     # r4 VPU diet: argmax on the pre-sigmoid logit (see the unfolded body) —
@@ -399,15 +419,15 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
         preferred_element_type=f32,
     ) + rs * bv_ref[0]
     oc = ((agg + vc) * icnt) * hmask_ref[:]      # (Hb, I)
-    return (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps,
-            invr_ps, raw_ps, cos, sgb, mask, sim, simb, icnt, rs, aggx_exp,
+    return (feat_f, featn_b, cin_exp, cin_expb, cn, cnb, inv_c, inv,
+            headexp, cos, sgb, mask, sim, simb, icnt, rs, aggx_exp,
             oc, xn_blk)
 
 
 def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
                                bft_ref, wfrt_ref, bf_ref, wvrt_ref, bv_ref,
                                w2t_ref, b2t_ref, pool_ref, rep_ref, hmask_ref,
-                               headsel_ref, rmask_ref, rowhead_ref,
+                               selbd_ref, rmask_ref, selbdT_ref,
                                blockmask_ref, out_ref, osum_ref, *,
                                heads, m, gw, s, inner):
     from jax.experimental import pallas as pl
@@ -427,12 +447,12 @@ def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
     xn_f = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
     xnb_f = xn_f.astype(mxu)
 
-    (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps, invr_ps,
-     raw_ps, cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
+    (feat_f, featn_b, cin_exp, cin_expb, cn, cnb, inv_c, inv, headexp,
+     cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
         _mixer_block_fwd_body_folded(
             xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
-            wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
-            rmask_ref, rowhead_ref, blockmask_ref,
+            wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, selbd_ref,
+            rmask_ref, selbdT_ref, blockmask_ref,
             heads=heads, m=m, gw=gw, s=s, inner=inner,
         ))
 
@@ -635,8 +655,8 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
     mxu = x.dtype
     pool_p = jnp.asarray(_pool_perm((rh, rw), (proposal_h, proposal_w), gw, s),
                          mxu)
-    rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, inner)
-    rowhead = jnp.asarray(_rowhead_matrix(gw, heads, m), mxu)
+    rep_np, hmask_np, _ = _replication_and_masks(gw, heads, m, inner)
+    selbd_np = _headsel_bd(gw, heads, m, inner, s)
     rmask = jnp.asarray(_rmask_perm(gw, heads, m, rh, rw, s))
     blockmask = jnp.asarray(_fold_blockmask(nt, s, c), mxu)
     params = jnp.stack([alpha.astype(f32), beta.astype(f32)])
@@ -666,7 +686,8 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
             const((sc, inner)), const((1, inner)),
             const((inner, sc)), const((1, sc)),
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
-            const((inner, heads)), const((hb, nt)), const((hb, heads)),
+            const((s * inner, s * heads)), const((hb, nt)),
+            const((s * heads, s * inner)),
             const((nt, sc)),
         ],
         out_specs=[
@@ -691,7 +712,8 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
       _row_tile(wvb, s), bv[None].astype(f32),
       jnp.tile(w2.astype(mxu), (1, s)), jnp.tile(b2, s)[None].astype(f32),
       pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
-      jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask)
+      jnp.asarray(selbd_np, mxu), rmask, jnp.asarray(selbd_np.T, mxu),
+      blockmask)
 
 
 def _mixer_block_ref(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
@@ -771,7 +793,7 @@ def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
 def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
                              bft_ref, wfrt_ref, bf_ref, wvrt_ref, bv_ref,
                              w2trt_ref, pool_ref, rep_ref, hmask_ref,
-                             headsel_ref, rmask_ref, rowhead_ref,
+                             selbd_ref, rmask_ref, selbdT_ref,
                              blockmask_ref, eye_ref, dxn_ref, dwftok_ref,
                              dwfcin_ref, dbftok_ref, dbfcin_ref, dwv_ref,
                              dbv_ref, dw2_ref, db2_ref, dab_ref, *, heads, m,
@@ -802,12 +824,12 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
     xnb = xn.astype(mxu)
 
-    (feat_f, featb_f, cin_exp, cin_expb, cn, cnb, inv_c, inv_ps, invr_ps,
-     raw_ps, cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
+    (feat_f, featn_b, cin_exp, cin_expb, cn, cnb, inv_c, inv, headexp,
+     cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
         _mixer_block_fwd_body_folded(
             xn, xnb, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
-            wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
-            rmask_ref, rowhead_ref, blockmask_ref,
+            wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, selbd_ref,
+            rmask_ref, selbdT_ref, blockmask_ref,
             heads=heads, m=m, gw=gw, s=s, inner=inner,
         ))
     # lane-tiled fc2 centers (every p-block == the compact (Hb, C) ocw): the
@@ -877,35 +899,38 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     d_alpha = jnp.sum(sig * cos)
     d_beta = jnp.sum(sig)
 
-    # per-p: raw/invr/norm chains -> dcn and dfeat
+    # normalize-first backward (r4): per-p work is just the two cos-matmul
+    # cotangents; the norm chain is full-width through headexp/inv.
+    # dcn here carries cross-head inv factors the old per-p form didn't, but
+    # both downstream uses (dot_c against the hmask-ed cn, dcp through the
+    # hmask multiply) zero exactly those entries — same gradients.
+    dcosb = dcos.astype(mxu)
     dcn = None
-    dfeat_ps = []
+    dfeatn_ps = []
     for p in range(s):
-        dcos_p = dcos[:, p * ntf : (p + 1) * ntf]
-        draw_p = (dcos_p * invr_ps[p]).astype(mxu)
-        dinvr_p = (dcos_p * raw_ps[p]).astype(mxu)
-        feat_p = featb_f[:, p * inner : (p + 1) * inner]
+        dcos_p = dcosb[:, p * ntf : (p + 1) * ntf]
         dcn_p = jax.lax.dot_general(
-            draw_p, feat_p, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            dcos_p, featn_b[:, p * inner : (p + 1) * inner],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
         )                                            # (Hb, I)
         dcn = dcn_p if dcn is None else dcn + dcn_p
-        dfeat_p = jax.lax.dot_general(
-            draw_p, cnb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-        )                                            # (ntf, I)
-        dinv_p = jax.lax.dot_general(
-            dinvr_p, rowhead_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )                                            # (ntf, heads)
-        inv_p = inv_ps[p]
-        dnorm2_p = dinv_p * (-0.5) * inv_p * inv_p * inv_p
-        dfeat_p = dfeat_p + 2.0 * feat_f[:, p * inner : (p + 1) * inner] * (
-            jax.lax.dot_general(
-                dnorm2_p.astype(mxu), headsel_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            ))
-        dfeat_ps.append(dfeat_p)
-    dfeat_f = jnp.concatenate(dfeat_ps, axis=1)      # (ntf, s*I)
+        dfeatn_ps.append(jax.lax.dot_general(
+            dcos_p, cnb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        ))                                           # (ntf, I)
+    dfeatn = jnp.concatenate(dfeatn_ps, axis=1)      # (ntf, s*I)
+    # featn = feat * headexp; headexp = inv @ selbd^T; inv = rsqrt(norm2);
+    # norm2 = feat^2 @ selbd
+    dfeat_f = dfeatn * headexp
+    dinv = jax.lax.dot_general(
+        (dfeatn * feat_f).astype(mxu), selbd_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (ntf, s*heads)
+    dnorm2 = dinv * (-0.5) * inv * inv * inv
+    df2 = jax.lax.dot_general(
+        dnorm2.astype(mxu), selbdT_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (ntf, s*I)
+    dfeat_f = dfeat_f + 2.0 * feat_f * df2
 
     # cn = c_rep * inv_c; c_rep = (rep @ cp) * hmask
     dot_c = jnp.sum(cn * dcn, axis=1, keepdims=True)
@@ -1328,8 +1353,8 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
 
     pool_p = jnp.asarray(_pool_perm((rh, rw), (proposal_h, proposal_w), gw, s),
                          mxu)
-    rep_np, hmask_np, headsel_np = _replication_and_masks(gw, heads, m, inner)
-    rowhead = jnp.asarray(_rowhead_matrix(gw, heads, m), mxu)
+    rep_np, hmask_np, _ = _replication_and_masks(gw, heads, m, inner)
+    selbd_np = _headsel_bd(gw, heads, m, inner, s)
     rmask = jnp.asarray(_rmask_perm(gw, heads, m, rh, rw, s))
     blockmask = jnp.asarray(_fold_blockmask(nt, s, c), mxu)
     eye_sc = jnp.eye(sc, dtype=mxu)
@@ -1360,7 +1385,8 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
             const((sc, inner)), const((1, inner)),
             const((sc, inner)),
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
-            const((inner, heads)), const((hb, nt)), const((hb, heads)),
+            const((s * inner, s * heads)), const((hb, nt)),
+            const((s * heads, s * inner)),
             const((nt, sc)), const((sc, sc)),
         ],
         out_specs=[
@@ -1403,7 +1429,8 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
       _row_tile(wvb, s), bv_e[None].astype(f32),
       _row_tile(w2b.T, s),
       pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
-      jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask, eye_sc)
+      jnp.asarray(selbd_np, mxu), rmask, jnp.asarray(selbd_np.T, mxu),
+      blockmask, eye_sc)
 
 
 def _fold_diag_blocks(w_exp, s):

@@ -87,10 +87,17 @@ def main() -> None:
     blockmask = jnp.asarray(bp._fold_blockmask(nt, s, c), mxu)
     wfb, wvb = wf.astype(mxu), wv.astype(mxu)
 
+    selbd_np = np.zeros((s * inner, s * heads), np.float32)
+    for p in range(s):
+        selbd_np[p * inner : (p + 1) * inner, p * heads : (p + 1) * heads] = (
+            np.asarray(bp._replication_and_masks(gw, heads, m, inner)[2]))
+    selbd = jnp.asarray(selbd_np, mxu)
+    selbdT = jnp.asarray(selbd_np.T, mxu)
+
     def kernel(params_ref, stats_ref, x_ref, wfbd_ref, bft_ref, wfrt_ref,
                bf_ref, wvrt_ref, bv_ref, w2t_ref, b2t_ref, pool_ref, rep_ref,
                hmask_ref, headsel_ref, rmask_ref, rowhead_ref, blockmask_ref,
-               out_ref, *, stop):
+               selbd_ref, selbdT_ref, out_ref, *, stop, variant="base"):
         alpha = params_ref[0]
         beta = params_ref[1]
         blk = x_ref[0]
@@ -133,26 +140,45 @@ def main() -> None:
             out_ref[0] = (xf + jnp.sum(cn) + jnp.sum(vc)).reshape(
                 rhk, wtfk, sck).astype(out_ref.dtype)
             return
-        inv_ps, invr_ps, raw_ps, cos_ps = [], [], [], []
-        for p in range(s):
-            feat_p = featb_f[:, p * inner : (p + 1) * inner]
-            fp32 = feat_f[:, p * inner : (p + 1) * inner]
-            f2_p = (fp32 * fp32).astype(mxu)
-            norm2_p = jax.lax.dot_general(
-                f2_p, headsel_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            inv_p = jax.lax.rsqrt(norm2_p + 1e-12)
-            invr_p = jax.lax.dot_general(
-                rowhead_ref[:], inv_p.astype(mxu), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-            raw_p = jax.lax.dot_general(
-                cnb, feat_p, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-            inv_ps.append(inv_p)
-            invr_ps.append(invr_p)
-            raw_ps.append(raw_p)
-            cos_ps.append(raw_p * invr_p)
-        cos = jnp.concatenate(cos_ps, axis=1)
+        if variant == "nf":
+            # normalize-first: ONE full-width norm2 matmul + ONE head-expand
+            # matmul + ONE multiply; per-p work shrinks to the cos matmul.
+            f2 = ((feat_f * feat_f)).astype(mxu)          # (ntf, s*I)
+            norm2 = jax.lax.dot_general(
+                f2, selbd_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)               # (ntf, s*heads)
+            inv = jax.lax.rsqrt(norm2 + 1e-12)
+            headexp = jax.lax.dot_general(
+                inv.astype(mxu), selbdT_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)               # (ntf, s*I)
+            featn = (feat_f * headexp).astype(mxu)
+            cos_ps = []
+            for p in range(s):
+                cos_ps.append(jax.lax.dot_general(
+                    cnb, featn[:, p * inner : (p + 1) * inner],
+                    (((1,), (1,)), ((), ())), preferred_element_type=f32))
+            cos = jnp.concatenate(cos_ps, axis=1)
+        else:
+            inv_ps, invr_ps, raw_ps, cos_ps = [], [], [], []
+            for p in range(s):
+                feat_p = featb_f[:, p * inner : (p + 1) * inner]
+                fp32 = feat_f[:, p * inner : (p + 1) * inner]
+                f2_p = (fp32 * fp32).astype(mxu)
+                norm2_p = jax.lax.dot_general(
+                    f2_p, headsel_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                inv_p = jax.lax.rsqrt(norm2_p + 1e-12)
+                invr_p = jax.lax.dot_general(
+                    rowhead_ref[:], inv_p.astype(mxu), (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                raw_p = jax.lax.dot_general(
+                    cnb, feat_p, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                inv_ps.append(inv_p)
+                invr_ps.append(invr_p)
+                raw_ps.append(raw_p)
+                cos_ps.append(raw_p * invr_p)
+            cos = jnp.concatenate(cos_ps, axis=1)
         rmask_k = rmask_ref[:]
         x_sim = beta + alpha * cos
         x_m = jnp.where(rmask_k > 0.0, x_sim, -1e30)
@@ -201,10 +227,12 @@ def main() -> None:
     const = lambda shape: pl.BlockSpec(shape, lambda bi, i_, j_: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
-    def build(stop):
-        def k(*a, _stop=stop):
-            return kernel(*a, stop=_stop)
-        k.__name__ = f"ablate_{stop}"
+    def build(stop, variant="base"):
+        name = f"ablate_{variant}_{stop}" if variant != "base" else f"ablate_{stop}"
+
+        def k(*a, _stop=stop, _v=variant):
+            return kernel(*a, stop=_stop, variant=_v)
+        k.__name__ = name
 
         def run(xx):
             return pl.pallas_call(
@@ -221,6 +249,7 @@ def main() -> None:
                 const((nt, mb)), const((hb, mb)), const((hb, inner)),
                 const((inner, heads)), const((hb, nt)), const((hb, heads)),
                 const((nt, sc)),
+                const((s * inner, s * heads)), const((s * heads, s * inner)),
             ],
             out_specs=tile,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -231,18 +260,30 @@ def main() -> None:
           bp._row_tile(wvb, s), bv[None],
           jnp.tile(w2.astype(mxu), (1, s)), jnp.tile(b2, s)[None],
           pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
-          jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask)
+          jnp.asarray(headsel_np, mxu), rmask, rowhead, blockmask,
+          selbd, selbdT)
 
-        run.__name__ = f"ablate_{stop}"
+        run.__name__ = name
         return jax.jit(run)
 
-    stops = ["gn", "feat", "centers", "sim", "agg", "full"]
+    jobs = [("gn", "base"), ("feat", "base"), ("centers", "base"),
+            ("sim", "base"), ("agg", "base"), ("full", "base"),
+            ("sim", "nf"), ("full", "nf")]
     progs = []
-    for stop in stops:
-        fn = build(stop)
+    for stop, variant in jobs:
+        fn = build(stop, variant)
         jax.block_until_ready(fn(x))
-        progs.append((stop, fn))
-        print("compiled", stop)
+        progs.append((f"{variant}_{stop}", fn))
+        print("compiled", variant, stop)
+
+    # numerics: nf vs base full outputs (bf16 path; assignments may flip on
+    # exact ties only)
+    yb = np.asarray(progs[5][1](x), np.float32)
+    yn = np.asarray(progs[7][1](x), np.float32)
+    d = np.abs(yb - yn)
+    print(f"nf-vs-base max|diff| = {d.max():.3e}  mean|y| = {np.abs(yb).mean():.3e}")
+    print(f"  frac > 1e-2: {(d > 1e-2).mean():.2e}   frac > 1e-1: {(d > 1e-1).mean():.2e}"
+          f"   (tie-flip signature: tiny fraction, token-block sparsity)")
 
     import shutil
     shutil.rmtree(args.out, ignore_errors=True)
