@@ -140,9 +140,10 @@ def main() -> None:
             out_ref[0] = (xf + jnp.sum(cn) + jnp.sum(vc)).reshape(
                 rhk, wtfk, sck).astype(out_ref.dtype)
             return
-        if variant == "nf":
+        if variant in ("nf", "nfb"):
             # normalize-first: ONE full-width norm2 matmul + ONE head-expand
             # matmul + ONE multiply; per-p work shrinks to the cos matmul.
+            # (mirrors production _mixer_block_fwd_body_folded post-r4)
             f2 = ((feat_f * feat_f)).astype(mxu)          # (ntf, s*I)
             norm2 = jax.lax.dot_general(
                 f2, selbd_ref[:], (((1,), (0,)), ((), ())),
@@ -152,12 +153,21 @@ def main() -> None:
                 inv.astype(mxu), selbdT_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)               # (ntf, s*I)
             featn = (feat_f * headexp).astype(mxu)
+            if stop == "featn":
+                out_ref[0] = (xf + jnp.sum(featn.astype(f32))).reshape(
+                    rhk, wtfk, sck).astype(out_ref.dtype)
+                return
             cos_ps = []
             for p in range(s):
-                cos_ps.append(jax.lax.dot_general(
+                cp_ = jax.lax.dot_general(
                     cnb, featn[:, p * inner : (p + 1) * inner],
-                    (((1,), (1,)), ((), ())), preferred_element_type=f32))
+                    (((1,), (1,)), ((), ())), preferred_element_type=f32)
+                cos_ps.append(cp_.astype(mxu) if variant == "nfb" else cp_)
             cos = jnp.concatenate(cos_ps, axis=1)
+            if stop == "cosm":
+                out_ref[0] = (xf + jnp.sum(cos.astype(f32))).reshape(
+                    rhk, wtfk, sck).astype(out_ref.dtype)
+                return
         else:
             inv_ps, invr_ps, raw_ps, cos_ps = [], [], [], []
             for p in range(s):
@@ -180,8 +190,9 @@ def main() -> None:
                 cos_ps.append(raw_p * invr_p)
             cos = jnp.concatenate(cos_ps, axis=1)
         rmask_k = rmask_ref[:]
-        x_sim = beta + alpha * cos
-        x_m = jnp.where(rmask_k > 0.0, x_sim, -1e30)
+        pt = cos.dtype
+        x_sim = beta.astype(pt) + alpha.astype(pt) * cos
+        x_m = jnp.where(rmask_k.astype(pt) > 0.0, x_sim, pt.type(-1e30))
         best = x_m[0:seg]
         arg = jnp.zeros_like(best, dtype=jnp.int32)
         for mm in range(1, m):
@@ -189,21 +200,22 @@ def main() -> None:
             better = part > best
             best = jnp.where(better, part, best)
             arg = jnp.where(better, mm, arg)
-        sgb = jax.nn.sigmoid(best)
+        sgb = jax.nn.sigmoid(best.astype(f32)).astype(pt)
         mask = jnp.concatenate(
-            [(arg == mm).astype(f32) for mm in range(m)], axis=0) * rmask_k
+            [(arg == mm).astype(pt) for mm in range(m)], axis=0
+        ) * rmask_k.astype(pt)
         sim = mask * jnp.concatenate([sgb] * m, axis=0)
         simb = sim.astype(mxu)
-        counts = jnp.sum(mask, axis=1, keepdims=True)
+        counts = jnp.sum(mask, axis=1, keepdims=True, dtype=f32)
         icnt = 1.0 / (counts + 1.0)
         if stop == "sim":
-            out_ref[0] = (xf + jnp.sum(sim) + jnp.sum(icnt)
+            out_ref[0] = (xf + jnp.sum(sim, dtype=f32) + jnp.sum(icnt)
                           + jnp.sum(vc)).reshape(
                 rhk, wtfk, sck).astype(out_ref.dtype)
             return
         aggx_exp = jax.lax.dot_general(
             simb, xn_blk, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        rs = jnp.sum(sim, axis=1, keepdims=True)
+        rs = jnp.sum(sim, axis=1, keepdims=True, dtype=f32)
         agg = jax.lax.dot_general(
             aggx_exp.astype(mxu), wvrt_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=f32) + rs * bv_ref[0]
@@ -268,7 +280,8 @@ def main() -> None:
 
     jobs = [("gn", "base"), ("feat", "base"), ("centers", "base"),
             ("sim", "base"), ("agg", "base"), ("full", "base"),
-            ("sim", "nf"), ("full", "nf")]
+            ("featn", "nf"), ("cosm", "nf"), ("sim", "nf"),
+            ("agg", "nf"), ("full", "nf")]
     progs = []
     for stop, variant in jobs:
         fn = build(stop, variant)
@@ -278,8 +291,9 @@ def main() -> None:
 
     # numerics: nf vs base full outputs (bf16 path; assignments may flip on
     # exact ties only)
-    yb = np.asarray(progs[5][1](x), np.float32)
-    yn = np.asarray(progs[7][1](x), np.float32)
+    byname = dict(progs)
+    yb = np.asarray(byname["base_full"](x), np.float32)
+    yn = np.asarray(byname["nf_full"](x), np.float32)
     d = np.abs(yb - yn)
     print(f"nf-vs-base max|diff| = {d.max():.3e}  mean|y| = {np.abs(yb).mean():.3e}")
     print(f"  frac > 1e-2: {(d > 1e-2).mean():.2e}   frac > 1e-1: {(d > 1e-1).mean():.2e}"
