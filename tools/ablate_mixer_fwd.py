@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--hw", type=int, default=512)
     ap.add_argument("--width", type=float, default=0.25)
     ap.add_argument("--stage", type=int, default=0)
+    ap.add_argument("--gw", type=int, default=0, help="override region group width")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", default="/tmp/jaxtrace_ablate")
     args = ap.parse_args()
@@ -60,7 +61,8 @@ def main() -> None:
     rh, rw = h // fold_h, w // fold_w
     n = rh * rw
     m = ph * pw
-    gw = bp._group_w(fold_w, n)
+    gw = args.gw or bp._group_w(fold_w, n)
+    assert fold_w % gw == 0
     wt = gw * rw
     wtf = wt // s
     nt = rh * wt
