@@ -111,7 +111,8 @@ def _rowhead_matrix(gw: int, heads: int, m: int) -> np.ndarray:
 
 def _mixer_block_fwd_body(xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref,
                           bv_ref, pool_ref, rep_ref, hmask_ref, headsel_ref,
-                          rmask_ref, rowhead_ref, *, heads, m, gw):
+                          rmask_ref, rowhead_ref, *, heads, m, gw,
+                          track_cbest=False):
     """Shared forward interior over flattened (Nt, C) tokens — the 7-pass
     formulation (down from 10 in round 2; VERDICT r2 #1):
 
@@ -188,11 +189,14 @@ def _mixer_block_fwd_body(xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref,
     x_sim = beta + alpha * cos
     x_m = jnp.where(rmask > 0.0, x_sim, -1e30)
     best = x_m[0:seg]
+    cbest = cos[0:seg] if track_cbest else None  # winner-plane cos residual
     arg = jnp.zeros_like(best, dtype=jnp.int32)
     for mm in range(1, m):
         part = x_m[mm * seg : (mm + 1) * seg]
         better = part > best                    # strict > keeps the first max
         best = jnp.where(better, part, best)
+        if track_cbest:
+            cbest = jnp.where(better, cos[mm * seg : (mm + 1) * seg], cbest)
         arg = jnp.where(better, mm, arg)
     sgb = jax.nn.sigmoid(best)                  # (seg, Nt) winner sigmoids
     mask = jnp.concatenate(
@@ -214,7 +218,7 @@ def _mixer_block_fwd_body(xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref,
     ) + rs * bv_ref[0]
     oc = ((agg + vc) * icnt) * hmask_ref[:]     # (Hb, I)
     return (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, sgb, mask,
-            sim, simb, icnt, rs, aggx, oc)
+            sim, simb, icnt, rs, aggx, oc, c_rep, cbest, arg)
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +319,7 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
                                  wfrt_ref, bf_ref, wvrt_ref, bv_ref, pool_ref,
                                  rep_ref, hmask_ref, selbd_ref, rmask_ref,
                                  selbdT_ref, blockmask_ref, *, heads, m, gw,
-                                 s, inner):
+                                 s, inner, track_cbest=False):
     """Folded-token forward interior over (ntf, s*C) rows (see the lane
     folding note above).  Numerically the same contractions as
     _mixer_block_fwd_body up to f32 reassociation of the token order and the
@@ -393,11 +397,14 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
     x_sim = beta + alpha * cos
     x_m = jnp.where(rmask > 0.0, x_sim, -1e30)
     best = x_m[0:seg]
+    cbest = cos[0:seg] if track_cbest else None  # winner-plane cos residual
     arg = jnp.zeros_like(best, dtype=jnp.int32)
     for mm in range(1, m):
         part = x_m[mm * seg : (mm + 1) * seg]
         better = part > best                     # strict > keeps the first max
         best = jnp.where(better, part, best)
+        if track_cbest:
+            cbest = jnp.where(better, cos[mm * seg : (mm + 1) * seg], cbest)
         arg = jnp.where(better, mm, arg)
     sgb = jax.nn.sigmoid(best)                   # (seg, Nt) winner sigmoids
     mask = jnp.concatenate(
@@ -421,15 +428,19 @@ def _mixer_block_fwd_body_folded(xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref,
     oc = ((agg + vc) * icnt) * hmask_ref[:]      # (Hb, I)
     return (feat_f, featn_b, cin_exp, cin_expb, cn, cnb, inv_c, inv,
             headexp, cos, sgb, mask, sim, simb, icnt, rs, aggx_exp,
-            oc, xn_blk)
+            oc, xn_blk, c_rep, cbest, arg)
 
 
 def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
                                bft_ref, wfrt_ref, bf_ref, wvrt_ref, bv_ref,
                                w2t_ref, b2t_ref, pool_ref, rep_ref, hmask_ref,
                                selbd_ref, rmask_ref, selbdT_ref,
-                               blockmask_ref, out_ref, osum_ref, *,
+                               blockmask_ref, out_ref, osum_ref, *res_refs,
                                heads, m, gw, s, inner):
+    """With res_refs (cbest, argf, crep, ocr) present, this is the TRAIN
+    forward: it additionally stores the tiny per-tile residuals the
+    residual backward kernel consumes instead of rematerialising the
+    expensive similarity/centers passes (VERDICT r4 #3)."""
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -448,13 +459,21 @@ def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
     xnb_f = xn_f.astype(mxu)
 
     (feat_f, featn_b, cin_exp, cin_expb, cn, cnb, inv_c, inv, headexp,
-     cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
+     cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk,
+     c_rep, cbest, arg) = (
         _mixer_block_fwd_body_folded(
             xn_f, xnb_f, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
             wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, selbd_ref,
             rmask_ref, selbdT_ref, blockmask_ref,
             heads=heads, m=m, gw=gw, s=s, inner=inner,
+            track_cbest=bool(res_refs),
         ))
+    if res_refs:
+        cbest_ref, argf_ref, crep_ref, ocr_ref = res_refs
+        cbest_ref[0, 0] = cbest.astype(cbest_ref.dtype)
+        argf_ref[0, 0] = arg.astype(argf_ref.dtype)
+        crep_ref[0, 0] = c_rep.astype(crep_ref.dtype)
+        ocr_ref[0, 0] = oc.astype(ocr_ref.dtype)
 
     # [7] dispatch via the lane-tiled fc2 weights (w2t: every p lane block ==
     # w2), loop-free (r4 diet): one full-width dot against the WHOLE permuted
@@ -491,7 +510,10 @@ def _mixer_block_kernel_folded(params_ref, stats_ref, x_ref, wfbd_ref,
 def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
                         bv_ref, w2_ref, b2_ref, pool_ref, rep_ref, hmask_ref,
                         headsel_ref, rmask_ref, rowhead_ref, out_ref,
-                        osum_ref, *, heads, m, gw, rw):
+                        osum_ref, *res_refs, heads, m, gw, rw):
+    """With res_refs (cbest, argf, crep, ocr) present, this is the TRAIN
+    forward: it additionally stores the per-tile residuals the residual
+    backward consumes (see _mixer_block_kernel_folded)."""
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -512,11 +534,17 @@ def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
     xnb = xn.astype(mxu)
 
     (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, sgb, mask, sim,
-     simb, icnt, rs, aggx, oc) = _mixer_block_fwd_body(
+     simb, icnt, rs, aggx, oc, c_rep, cbest, arg) = _mixer_block_fwd_body(
         xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref, bv_ref, pool_ref,
         rep_ref, hmask_ref, headsel_ref, rmask_ref, rowhead_ref,
-        heads=heads, m=m, gw=gw,
+        heads=heads, m=m, gw=gw, track_cbest=bool(res_refs),
     )
+    if res_refs:
+        cbest_ref, argf_ref, crep_ref, ocr_ref = res_refs
+        cbest_ref[0, 0] = cbest.astype(cbest_ref.dtype)
+        argf_ref[0, 0] = arg.astype(argf_ref.dtype)
+        crep_ref[0, 0] = c_rep.astype(crep_ref.dtype)
+        ocr_ref[0, 0] = oc.astype(ocr_ref.dtype)
 
     # [7] dispatch in output space: fc2 applied to the Hb centers first
     ocw = jax.lax.dot_general(
@@ -550,11 +578,11 @@ def _mixer_block_kernel(params_ref, stats_ref, x_ref, wf_ref, bf_ref, wv_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "fold_h", "fold_w", "proposal_h", "proposal_w",
-                     "fold", "interpret"),
+                     "fold", "interpret", "residuals"),
 )
 def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
                         heads, fold_h, fold_w, proposal_h, proposal_w,
-                        fold=1, interpret=False):
+                        fold=1, interpret=False, residuals=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -562,6 +590,7 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
         return _mixer_block_pallas_folded(
             x, stats, wf, bf, wv, bv, w2, b2, alpha, beta, heads, fold_h,
             fold_w, proposal_h, proposal_w, fold, interpret=interpret,
+            residuals=residuals,
         )
     b, h, w, c = x.shape
     inner = wf.shape[1]
@@ -592,9 +621,33 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
         + 2 * nt * inner * (heads + hb)        # norm2 + sim
         + 2 * hb * nt * heads                  # invr expansion
     )
-    return pl.pallas_call(
+    fwg = fold_w // gw
+    seg = gw * heads
+    out_specs = [
+        tile,
+        pl.BlockSpec((1, 1, 128), lambda bi, i, j: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+    ]
+    if residuals:
+        rtile = lambda rows, cols: pl.BlockSpec(
+            (1, 1, rows, cols), lambda bi, i, j: (bi, i * fwg + j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs += [rtile(seg, nt), rtile(seg, nt),
+                      rtile(hb, inner), rtile(hb, inner)]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, fold_h * fwg, seg, nt), x.dtype),
+            jax.ShapeDtypeStruct((b, fold_h * fwg, seg, nt), x.dtype),
+            jax.ShapeDtypeStruct((b, fold_h * fwg, hb, inner), x.dtype),
+            jax.ShapeDtypeStruct((b, fold_h * fwg, hb, inner), x.dtype),
+        ]
+    outs = pl.pallas_call(
         kernel,
-        grid=(b, fold_h, fold_w // gw),
+        grid=(b, fold_h, fwg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -605,19 +658,12 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
             const((inner, heads)), const((hb, nt)), const((hb, heads)),
         ],
-        out_specs=[
-            tile,
-            pl.BlockSpec((1, 1, 128), lambda bi, i, j: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=b * fold_h * (fold_w // gw) * flops_per,
+            flops=b * fold_h * fwg * flops_per,
             bytes_accessed=b * h * w * c * x.dtype.itemsize * 2,
-            transcendentals=b * fold_h * (fold_w // gw) * hb * nt,
+            transcendentals=b * fold_h * fwg * hb * nt,
         ),
         compiler_params=_block_compiler_params(),
         interpret=interpret,
@@ -627,11 +673,14 @@ def _mixer_block_pallas(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
       w2.astype(mxu), b2[None].astype(jnp.float32),
       pool_t, jnp.asarray(rep_np), jnp.asarray(hmask_np),
       jnp.asarray(headsel_np, mxu), rmask, rowhead)
+    if residuals:
+        return outs[0], outs[1], tuple(outs[2:])
+    return outs
 
 
 def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
                                heads, fold_h, fold_w, proposal_h, proposal_w,
-                               s, interpret=False):
+                               s, interpret=False, residuals=False):
     """Lane-folded mixer forward: x is (B, H, W/s, s*C) with s*C == 128."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -674,9 +723,33 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
         + 2 * nt * inner * (heads + hb)
         + 2 * hb * nt * heads
     )
-    return pl.pallas_call(
+    fwg = fold_w // gw
+    seg = gw * heads
+    out_specs = [
+        tile,
+        pl.BlockSpec((1, 1, 128), lambda bi, i, j: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+    ]
+    if residuals:
+        rtile = lambda rows, cols: pl.BlockSpec(
+            (1, 1, rows, cols), lambda bi, i, j: (bi, i * fwg + j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs += [rtile(seg, nt), rtile(seg, nt),
+                      rtile(hb, inner), rtile(hb, inner)]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, fold_h * fwg, seg, nt), x.dtype),
+            jax.ShapeDtypeStruct((b, fold_h * fwg, seg, nt), x.dtype),
+            jax.ShapeDtypeStruct((b, fold_h * fwg, hb, inner), x.dtype),
+            jax.ShapeDtypeStruct((b, fold_h * fwg, hb, inner), x.dtype),
+        ]
+    outs = pl.pallas_call(
         kernel,
-        grid=(b, fold_h, fold_w // gw),
+        grid=(b, fold_h, fwg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -690,19 +763,12 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
             const((s * heads, s * inner)),
             const((nt, sc)),
         ],
-        out_specs=[
-            tile,
-            pl.BlockSpec((1, 1, 128), lambda bi, i, j: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=b * fold_h * (fold_w // gw) * flops_per,
+            flops=b * fold_h * fwg * flops_per,
             bytes_accessed=b * h * w * c * x.dtype.itemsize * 2,
-            transcendentals=b * fold_h * (fold_w // gw) * hb * nt,
+            transcendentals=b * fold_h * fwg * hb * nt,
         ),
         compiler_params=_block_compiler_params(),
         interpret=interpret,
@@ -714,6 +780,9 @@ def _mixer_block_pallas_folded(x, stats, wf, bf, wv, bv, w2, b2, alpha, beta,
       pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
       jnp.asarray(selbd_np, mxu), rmask, jnp.asarray(selbd_np.T, mxu),
       blockmask)
+    if residuals:
+        return outs[0], outs[1], tuple(outs[2:])
+    return outs
 
 
 def _mixer_block_ref(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
@@ -755,26 +824,42 @@ def fused_mixer_block(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
 
 def _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha,
                     beta, heads, fold_h, fold_w, proposal_h, proposal_w,
-                    stats, lane_fold=1):
-    """Shared forward: returns (out, out_stats) where out_stats are the GN
-    statistics of the OUTPUT, reduced inside the kernel (the chained MLP
-    half consumes them instead of re-reading out from HBM).  With
-    lane_fold=s>1, x is (B, H, W/s, s*C) lane-folded and out stays folded."""
+                    stats, lane_fold=1, want_residuals=False):
+    """Shared forward: returns (out, out_stats[, residuals]) where out_stats
+    are the GN statistics of the OUTPUT, reduced inside the kernel (the
+    chained MLP half consumes them instead of re-reading out from HBM).
+    With lane_fold=s>1, x is (B, H, W/s, s*C) lane-folded and out stays
+    folded.  want_residuals=True (the TRAIN forward under the custom VJP)
+    additionally returns the per-tile (cbest, argf, c_rep, oc) residuals
+    consumed by the residual backward kernels (VERDICT r4 #3)."""
     interpret = jax.default_backend() != "tpu"
     wf_e, bf_e = _fold_in(gn_scale, gn_bias, wf, bf)
     wv_e, bv_e = _fold_in(gn_scale, gn_bias, wv, bv)
     w2_e, b2_e = _fold_out(w2, b2, ls1)
-    out, osum = _mixer_block_pallas(
+    outs = _mixer_block_pallas(
         x, stats, wf_e, bf_e, wv_e, bv_e, w2_e, b2_e,
         jnp.asarray(alpha), jnp.asarray(beta),
         heads, fold_h, fold_w, proposal_h, proposal_w, fold=lane_fold,
-        interpret=interpret,
+        interpret=interpret, residuals=want_residuals,
     )
+    out, osum = outs[0], outs[1]
     n = float(x.shape[1] * x.shape[2] * x.shape[3])
     mu = osum[:, 0, 0] / n
     var = osum[:, 0, 1] / n - jnp.square(mu)
     out_stats = jnp.stack([mu, jax.lax.rsqrt(var + _GN_EPS)], axis=-1)
+    if want_residuals:
+        return out, out_stats, outs[2]
     return out, out_stats
+
+
+def _use_bwd_residuals() -> bool:
+    """Residual backward (VERDICT r4 #3): the train forward kernels store
+    small per-tile residuals (winner cos/argmax plane, raw + mixed centers)
+    and the backward kernels consume them instead of rematerialising the
+    similarity/centers passes.  A/B kill switch: ASY_MIXER_BWD_RESIDUALS=0."""
+    import os
+
+    return os.environ.get("ASY_MIXER_BWD_RESIDUALS", "1") != "0"
 
 
 def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
@@ -783,11 +868,19 @@ def _fused_mixer_block_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
     # compute stats once and thread them through the residuals — the bwd
     # would otherwise redo a full reduce pass over x per block
     stats = gn1_stats(x)
-    out, _ = _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2,
-                             ls1, alpha, beta, heads, fold_h, fold_w,
-                             proposal_h, proposal_w, stats)
+    if _use_bwd_residuals():
+        out, _, rpack = _mixer_fwd_impl(
+            x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta,
+            heads, fold_h, fold_w, proposal_h, proposal_w, stats,
+            want_residuals=True,
+        )
+    else:
+        out, _ = _mixer_fwd_impl(x, gn_scale, gn_bias, wf, bf, wv, bv, w2,
+                                 b2, ls1, alpha, beta, heads, fold_h, fold_w,
+                                 proposal_h, proposal_w, stats)
+        rpack = None
     return out, (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha,
-                 beta, stats)
+                 beta, stats, rpack)
 
 
 def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
@@ -825,13 +918,44 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     xnb = xn.astype(mxu)
 
     (feat_f, featn_b, cin_exp, cin_expb, cn, cnb, inv_c, inv, headexp,
-     cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk) = (
+     cos, sgb, mask, sim, simb, icnt, rs, aggx_exp, oc, xn_blk,
+     _c_rep, _cbest, _arg) = (
         _mixer_block_fwd_body_folded(
             xn, xnb, alpha, beta, wfbd_ref, bft_ref, wfrt_ref, bf_ref,
             wvrt_ref, bv_ref, pool_ref, rep_ref, hmask_ref, selbd_ref,
             rmask_ref, selbdT_ref, blockmask_ref,
             heads=heads, m=m, gw=gw, s=s, inner=inner,
         ))
+    _mixer_bwd_tail_folded(
+        gout, xn, xnb, alpha, cos, feat_f, featn_b, cin_expb, cn, cnb, inv_c,
+        inv, headexp, sgb, mask, simb, icnt, rs, aggx_exp, oc, xn_blk,
+        wfbd_ref, wfrt_ref, wvrt_ref, bv_ref, w2trt_ref, pool_ref, rep_ref,
+        hmask_ref, selbd_ref, selbdT_ref, blockmask_ref, eye_ref,
+        dxn_ref, dwftok_ref, dwfcin_ref, dbftok_ref, dbfcin_ref, dwv_ref,
+        dbv_ref, dw2_ref, db2_ref, dab_ref, first=(i == 0) & (j == 0),
+        m=m, s=s, inner=inner,
+    )
+
+
+def _mixer_bwd_tail_folded(gout, xn, xnb, alpha, cosw, feat_f, featn_b,
+                           cin_expb, cn, cnb, inv_c, inv, headexp, sgb, mask,
+                           simb, icnt, rs, aggx_exp, oc, xn_blk,
+                           wfbd_ref, wfrt_ref, wvrt_ref, bv_ref, w2trt_ref,
+                           pool_ref, rep_ref, hmask_ref, selbd_ref,
+                           selbdT_ref, blockmask_ref, eye_ref,
+                           dxn_ref, dwftok_ref, dwfcin_ref, dbftok_ref,
+                           dbfcin_ref, dwv_ref, dbv_ref, dw2_ref, db2_ref,
+                           dab_ref, *, first, m, s, inner):
+    """Backward dataflow of the lane-folded mixer half, shared by the
+    full-remat kernel (cosw = the full remat cos plane) and the residual
+    kernel (cosw = the stored winner-plane cos tiled over m — identical
+    d_alpha because sig is winner-masked)."""
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    ntf, sc = xn.shape
+    c = sc // s
+    mxu = xnb.dtype
     # lane-tiled fc2 centers (every p-block == the compact (Hb, C) ocw): the
     # row-tiled w2^T gives it in ONE dot, replacing the per-p identity-slice
     # extraction loops below (r4 diet)
@@ -896,7 +1020,7 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     sgg = sgb * (1.0 - sgb)
     sig = dsim * mask * jnp.concatenate([sgg] * m, axis=0)
     dcos = sig * alpha
-    d_alpha = jnp.sum(sig * cos)
+    d_alpha = jnp.sum(sig * cosw)
     d_beta = jnp.sum(sig)
 
     # normalize-first backward (r4): per-p work is just the two cos-matmul
@@ -986,7 +1110,7 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
     )                                                # (sc, s*I)
     pdbf_tok = jnp.sum(dfeat_f, axis=0, keepdims=True)   # (1, s*I)
 
-    dxn_ref[0] = dxn.reshape(rh, wtf, sc).astype(dxn_ref.dtype)
+    dxn_ref[0] = dxn.reshape(dxn_ref.shape[1:]).astype(dxn_ref.dtype)
     s1 = jnp.sum(dxn)
     s2 = jnp.sum(dxn * xn)
     pdb2 = jnp.sum(gout, axis=0, keepdims=True)      # (1, sc)
@@ -997,8 +1121,6 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
         jnp.where(lane == 1, d_beta,
                   jnp.where(lane == 2, s1, jnp.where(lane == 3, s2, 0.0))),
     )
-
-    first = (i == 0) & (j == 0)
 
     @pl.when(first)
     def _init():
@@ -1021,6 +1143,103 @@ def _mixer_bwd_kernel_folded(params_ref, stats_ref, x_ref, g_ref, wfbd_ref,
         dbv_ref[0] += pdbv
         dw2_ref[0] += pdw2
         db2_ref[0] += pdb2
+
+
+def _mixer_bwd_kernel_folded_res(params_ref, stats_ref, x_ref, g_ref,
+                                 wfbd_ref, bft_ref, wfrt_ref, bf_ref,
+                                 wvrt_ref, bv_ref, w2trt_ref, pool_ref,
+                                 rep_ref, hmask_ref, selbd_ref, rmask_ref,
+                                 selbdT_ref, blockmask_ref, eye_ref,
+                                 cbest_ref, argf_ref, crep_ref, ocr_ref,
+                                 dxn_ref, dwftok_ref, dwfcin_ref, dbftok_ref,
+                                 dbfcin_ref, dwv_ref, dbv_ref, dw2_ref,
+                                 db2_ref, dab_ref, *, heads, m, gw, s, inner):
+    """Residual backward of the lane-folded mixer half (VERDICT r4 #3).
+
+    Instead of rematerialising the full 7-pass forward, this consumes the
+    per-tile residuals stored by the train forward kernel — cbest/argf (the
+    winner-plane cos values and proposal indices), c_rep (unnormalised
+    centers) and oc (mixed centers) — and recomputes only the cheap
+    input-side passes the backward genuinely contracts against (feat tokens
+    + their norms, pooled tokens, the sim plane rebuilt from the winner
+    residuals, the aggregation plane).  Eliminated vs the full remat: both
+    cos matmuls (the dominant similarity chain), the centers projection/
+    replication chain, the argmax scan and the aggregation projection."""
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    blk = x_ref[0]                                   # (rh, wtf, s*C)
+    rh, wtf, sc = blk.shape
+    ntf = rh * wtf
+    mxu = blk.dtype
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    xf = blk.reshape(ntf, sc).astype(f32)
+    gout = g_ref[0].reshape(ntf, sc).astype(f32)
+    xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
+    xnb = xn.astype(mxu)
+
+    # --- slim remat: feat tokens + per-head norms (contracted against the
+    # dcos cotangents below, so they must exist in VMEM either way)
+    feat_f = jax.lax.dot_general(
+        xnb, wfbd_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bft_ref[0]                                   # (ntf, s*I)
+    f2 = (feat_f * feat_f).astype(mxu)
+    norm2 = jax.lax.dot_general(
+        f2, selbd_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    inv = jax.lax.rsqrt(norm2 + 1e-12)               # (ntf, s*heads)
+    headexp = jax.lax.dot_general(
+        inv.astype(mxu), selbdT_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    featn_b = (feat_f * headexp).astype(mxu)
+    xn_blk = jnp.concatenate([xnb] * s, axis=0) * blockmask_ref[:]
+    cin_exp = jax.lax.dot_general(
+        pool_ref[:], xn_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    cin_expb = cin_exp.astype(mxu)
+
+    # --- stored residuals -> sim plane / centers, no similarity chain
+    cbest = cbest_ref[0, 0].astype(f32)              # (seg, Nt) winner cos
+    argf = argf_ref[0, 0].astype(f32)                # (seg, Nt) winner index
+    x_best = beta + alpha * cbest
+    sgb = jax.nn.sigmoid(x_best)                     # garbage off-region,
+    mask = jnp.concatenate(                          # killed by mask below
+        [(argf == float(mm)).astype(f32) for mm in range(m)], axis=0
+    ) * rmask_ref[:]                                 # (Hb, Nt)
+    sim = mask * jnp.concatenate([sgb] * m, axis=0)
+    simb = sim.astype(mxu)
+    counts = jnp.sum(mask, axis=1, keepdims=True)
+    icnt = 1.0 / (counts + 1.0)
+    rs = jnp.sum(sim, axis=1, keepdims=True)
+    aggx_exp = jax.lax.dot_general(
+        simb, xn_blk, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Hb, sc)
+    c_rep = crep_ref[0, 0].astype(f32)               # (Hb, I)
+    inv_c = jax.lax.rsqrt(jnp.sum(c_rep * c_rep, axis=1, keepdims=True)
+                          + 1e-12)
+    cn = c_rep * inv_c
+    cnb = cn.astype(mxu)
+    oc = ocr_ref[0, 0].astype(f32)                   # (Hb, I)
+    cosw = jnp.concatenate([cbest] * m, axis=0)      # d_alpha plane (sig is
+                                                     # winner-masked)
+    _mixer_bwd_tail_folded(
+        gout, xn, xnb, alpha, cosw, feat_f, featn_b, cin_expb, cn, cnb,
+        inv_c, inv, headexp, sgb, mask, simb, icnt, rs, aggx_exp, oc, xn_blk,
+        wfbd_ref, wfrt_ref, wvrt_ref, bv_ref, w2trt_ref, pool_ref, rep_ref,
+        hmask_ref, selbd_ref, selbdT_ref, blockmask_ref, eye_ref,
+        dxn_ref, dwftok_ref, dwfcin_ref, dbftok_ref, dbfcin_ref, dwv_ref,
+        dbv_ref, dw2_ref, db2_ref, dab_ref, first=(i == 0) & (j == 0),
+        m=m, s=s, inner=inner,
+    )
 
 
 def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
@@ -1060,11 +1279,36 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
     xnb = xn.astype(mxu)
 
     (feat, featb, cin, cinb, cn, inv_c, inv, invr, raw, cos, sgb, mask, sim,
-     simb, icnt, rs, aggx, oc) = _mixer_block_fwd_body(
+     simb, icnt, rs, aggx, oc, _c_rep, _cbest, _arg) = _mixer_block_fwd_body(
         xn, xnb, alpha, beta, wf_ref, bf_ref, wv_ref, bv_ref, pool_ref,
         rep_ref, hmask_ref, headsel_ref, rmask_ref, rowhead_ref,
         heads=heads, m=m, gw=gw,
     )
+    _mixer_bwd_tail(
+        gout, xn, xnb, alpha, cos, raw, feat, featb, cinb, cn, inv_c, inv,
+        invr, sgb, mask, simb, icnt, rs, aggx, oc,
+        wf_ref, wv_ref, bv_ref, w2_ref, pool_ref, rep_ref, hmask_ref,
+        headsel_ref, rowhead_ref,
+        dxn_ref, dwf_ref, dbf_ref, dwv_ref, dbv_ref, dw2_ref, db2_ref,
+        dab_ref, first=(i == 0) & (j == 0), m=m,
+    )
+
+
+def _mixer_bwd_tail(gout, xn, xnb, alpha, cosw, raw, feat, featb, cinb, cn,
+                    inv_c, inv, invr, sgb, mask, simb, icnt, rs, aggx, oc,
+                    wf_ref, wv_ref, bv_ref, w2_ref, pool_ref, rep_ref,
+                    hmask_ref, headsel_ref, rowhead_ref,
+                    dxn_ref, dwf_ref, dbf_ref, dwv_ref, dbv_ref, dw2_ref,
+                    db2_ref, dab_ref, *, first, m):
+    """Backward dataflow of the unfolded mixer half, shared by the
+    full-remat kernel (cosw/raw = the remat planes) and the residual kernel
+    (cosw = the stored winner cos tiled over m, raw = None — the raw-plane
+    cotangent is reconstructed as cosw/invr on the winner support, identical
+    because dcos is winner-masked)."""
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    mxu = xnb.dtype
     ocw = jax.lax.dot_general(
         oc.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
@@ -1122,10 +1366,12 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
     sgg = sgb * (1.0 - sgb)
     sig = dsim * mask * jnp.concatenate([sgg] * m, axis=0)
     dcos = sig * alpha
-    d_alpha = jnp.sum(sig * cos)
+    d_alpha = jnp.sum(sig * cosw)
     d_beta = jnp.sum(sig)
     draw = dcos * invr
-    dinvr = dcos * raw
+    # raw == cos/invr; dcos is winner-masked, so the residual path (raw is
+    # None) reconstructs exactly the entries that matter from the winner cos
+    dinvr = dcos * (raw if raw is not None else cosw * (1.0 / invr))
 
     # raw = cn @ feat^T
     drawb = draw.astype(mxu)
@@ -1191,7 +1437,7 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
     )
     pdbf = pdbf + jnp.sum(dfeat, axis=0, keepdims=True)
 
-    dxn_ref[0] = dxn.reshape(rh, wt, c).astype(dxn_ref.dtype)
+    dxn_ref[0] = dxn.reshape(dxn_ref.shape[1:]).astype(dxn_ref.dtype)
     # per-sample GN-backward partials (lanes 2/3 of the dab row):
     s1 = jnp.sum(dxn)
     s2 = jnp.sum(dxn * xn)
@@ -1203,8 +1449,6 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
         jnp.where(lane == 1, d_beta,
                   jnp.where(lane == 2, s1, jnp.where(lane == 3, s2, 0.0))),
     )
-
-    first = (i == 0) & (j == 0)
 
     @pl.when(first)
     def _init():
@@ -1225,6 +1469,85 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
         db2_ref[0] += pdb2
 
 
+def _mixer_bwd_kernel_res(params_ref, stats_ref, x_ref, g_ref, wf_ref,
+                          bf_ref, wv_ref, bv_ref, w2_ref, pool_ref, rep_ref,
+                          hmask_ref, headsel_ref, rmask_ref, rowhead_ref,
+                          cbest_ref, argf_ref, crep_ref, ocr_ref,
+                          dxn_ref, dwf_ref, dbf_ref, dwv_ref, dbv_ref,
+                          dw2_ref, db2_ref, dab_ref, *, heads, m, gw, rw):
+    """Residual backward of the unfolded mixer half — see
+    _mixer_bwd_kernel_folded_res for the residual protocol."""
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    blk = x_ref[0]                                   # (rh, wt, C)
+    rh, wt, c = blk.shape
+    nt = rh * wt
+    mxu = blk.dtype
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    xf = blk.reshape(nt, c).astype(f32)
+    gout = g_ref[0].reshape(nt, c).astype(f32)
+    xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
+    xnb = xn.astype(mxu)
+
+    # --- slim remat: feat tokens + norms + pooled tokens
+    feat = jax.lax.dot_general(
+        xnb, wf_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bf_ref[0]                                    # (Nt, I)
+    featb = feat.astype(mxu)
+    f2 = (feat * feat).astype(mxu)
+    norm2 = jax.lax.dot_general(
+        f2, headsel_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    inv = jax.lax.rsqrt(norm2 + 1e-12)               # (Nt, heads)
+    invr = jax.lax.dot_general(
+        rowhead_ref[:], inv.astype(mxu), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                # (Hb, Nt)
+    cin = jax.lax.dot_general(
+        pool_ref[:], xnb, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    cinb = cin.astype(mxu)
+
+    # --- stored residuals -> sim plane / centers
+    cbest = cbest_ref[0, 0].astype(f32)              # (seg, Nt)
+    argf = argf_ref[0, 0].astype(f32)
+    x_best = beta + alpha * cbest
+    sgb = jax.nn.sigmoid(x_best)
+    mask = jnp.concatenate(
+        [(argf == float(mm)).astype(f32) for mm in range(m)], axis=0
+    ) * rmask_ref[:]                                 # (Hb, Nt)
+    sim = mask * jnp.concatenate([sgb] * m, axis=0)
+    simb = sim.astype(mxu)
+    counts = jnp.sum(mask, axis=1, keepdims=True)
+    icnt = 1.0 / (counts + 1.0)
+    rs = jnp.sum(sim, axis=1, keepdims=True)
+    aggx = jax.lax.dot_general(
+        simb, xnb, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                # (Hb, C)
+    c_rep = crep_ref[0, 0].astype(f32)
+    inv_c = jax.lax.rsqrt(jnp.sum(c_rep * c_rep, axis=1, keepdims=True)
+                          + 1e-12)
+    cn = c_rep * inv_c
+    oc = ocr_ref[0, 0].astype(f32)
+    cosw = jnp.concatenate([cbest] * m, axis=0)
+
+    _mixer_bwd_tail(
+        gout, xn, xnb, alpha, cosw, None, feat, featb, cinb, cn, inv_c, inv,
+        invr, sgb, mask, simb, icnt, rs, aggx, oc,
+        wf_ref, wv_ref, bv_ref, w2_ref, pool_ref, rep_ref, hmask_ref,
+        headsel_ref, rowhead_ref,
+        dxn_ref, dwf_ref, dbf_ref, dwv_ref, dbv_ref, dw2_ref, db2_ref,
+        dab_ref, first=(i == 0) & (j == 0), m=m,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "fold_h", "fold_w", "proposal_h", "proposal_w",
@@ -1232,7 +1555,7 @@ def _mixer_bwd_kernel(params_ref, stats_ref, x_ref, g_ref, wf_ref, bf_ref,
 )
 def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
                       heads, fold_h, fold_w, proposal_h, proposal_w,
-                      fold=1, interpret=False):
+                      fold=1, interpret=False, residuals=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1240,6 +1563,7 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
         return _mixer_bwd_pallas_folded(
             x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta, heads,
             fold_h, fold_w, proposal_h, proposal_w, fold, interpret=interpret,
+            residuals=residuals,
         )
     b, h, w, c = x.shape
     inner = wf_e.shape[1]
@@ -1262,7 +1586,9 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
     rmask = jnp.asarray(_region_mask(gw, heads, m, rh, rw))
     params = jnp.stack([alpha.astype(f32), beta.astype(f32)])
 
-    kernel = functools.partial(_mixer_bwd_kernel, heads=heads, m=m, gw=gw, rw=rw)
+    kernel = functools.partial(
+        _mixer_bwd_kernel_res if residuals is not None else _mixer_bwd_kernel,
+        heads=heads, m=m, gw=gw, rw=rw)
     tile = pl.BlockSpec((1, rh, wt, c), lambda bi, i, j: (bi, i, j, 0),
                         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape),
@@ -1271,6 +1597,16 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
         (1,) + shape, lambda bi, i, j: (bi,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
+    seg = gw * heads
+    res_specs, res_args = [], []
+    if residuals is not None:
+        rtile = lambda rows, cols: pl.BlockSpec(
+            (1, 1, rows, cols), lambda bi, i, j: (bi, i * fwg + j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        res_specs = [rtile(seg, nt), rtile(seg, nt),
+                     rtile(hb, inner), rtile(hb, inner)]
+        res_args = list(residuals)
     return pl.pallas_call(
         kernel,
         grid=(b, fold_h, fwg),
@@ -1283,7 +1619,7 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
             const((inner, c)),
             const((nt, mb)), const((hb, mb)), const((hb, inner)),
             const((inner, heads)), const((hb, nt)), const((hb, heads)),
-        ],
+        ] + res_specs,
         out_specs=[
             tile,
             acc((c, inner)), acc((1, inner)),
@@ -1321,12 +1657,12 @@ def _mixer_bwd_pallas(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e, alpha, beta,
       w2_e.astype(mxu),
       pool_t, jnp.asarray(rep_np), jnp.asarray(hmask_np),
       jnp.asarray(headsel_np, mxu), rmask,
-      jnp.asarray(rowhead, mxu))
+      jnp.asarray(rowhead, mxu), *res_args)
 
 
 def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
                              alpha, beta, heads, fold_h, fold_w, proposal_h,
-                             proposal_w, s, interpret=False):
+                             proposal_w, s, interpret=False, residuals=None):
     """Lane-folded mixer backward: x/g are (B, H, W/s, s*C).  Returns the
     expanded-form weight-grad accumulators (folded to original shapes by
     _fused_mixer_block_bwd)."""
@@ -1363,8 +1699,10 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
     wvb = wv_e.astype(mxu)
     w2b = w2_e.astype(mxu)
 
-    kernel = functools.partial(_mixer_bwd_kernel_folded, heads=heads, m=m,
-                               gw=gw, s=s, inner=inner)
+    kernel = functools.partial(
+        _mixer_bwd_kernel_folded_res if residuals is not None
+        else _mixer_bwd_kernel_folded,
+        heads=heads, m=m, gw=gw, s=s, inner=inner)
     tile = pl.BlockSpec((1, rh, wtf, sc), lambda bi, i, j: (bi, i, j, 0),
                         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda bi, i, j: (0,) * len(shape),
@@ -1373,6 +1711,16 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
         (1,) + shape, lambda bi, i, j: (bi,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
+    seg = gw * heads
+    res_specs, res_args = [], []
+    if residuals is not None:
+        rtile = lambda rows, cols: pl.BlockSpec(
+            (1, 1, rows, cols), lambda bi, i, j: (bi, i * fwg + j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        res_specs = [rtile(seg, nt), rtile(seg, nt),
+                     rtile(hb, inner), rtile(hb, inner)]
+        res_args = list(residuals)
     return pl.pallas_call(
         kernel,
         grid=(b, fold_h, fwg),
@@ -1388,7 +1736,7 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
             const((s * inner, s * heads)), const((hb, nt)),
             const((s * heads, s * inner)),
             const((nt, sc)), const((sc, sc)),
-        ],
+        ] + res_specs,
         out_specs=[
             tile,
             acc((sc, s * inner)), acc((sc, inner)),
@@ -1430,7 +1778,7 @@ def _mixer_bwd_pallas_folded(x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
       _row_tile(w2b.T, s),
       pool_p, jnp.asarray(rep_np), jnp.asarray(hmask_np),
       jnp.asarray(selbd_np, mxu), rmask, jnp.asarray(selbd_np.T, mxu),
-      blockmask, eye_sc)
+      blockmask, eye_sc, *res_args)
 
 
 def _fold_diag_blocks(w_exp, s):
@@ -1463,7 +1811,8 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
     bwd core + folded-weight grad accumulators) + XLA GroupNorm backward +
     trace-time grad unfolding.  Replaces jax.vjp through the ref composition
     (~55 ms/step of XLA remat+grad chains at bs=64, BENCH_NOTES)."""
-    x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta, stats = res
+    (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta, stats,
+     rpack) = res
     interpret = jax.default_backend() != "tpu"
     f32 = jnp.float32
     wf_e, bf_e = _fold_in(gn_scale, gn_bias, wf, bf)
@@ -1477,7 +1826,7 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
             x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
             jnp.asarray(alpha), jnp.asarray(beta),
             heads, fold_h, fold_w, proposal_h, proposal_w, fold=s,
-            interpret=interpret,
+            interpret=interpret, residuals=rpack,
         )
         dwf_e = (_fold_diag_blocks(jnp.sum(dwftok, axis=0), s)
                  + _fold_row_blocks(jnp.sum(dwfcin, axis=0), s))
@@ -1492,7 +1841,7 @@ def _fused_mixer_block_bwd(heads, fold_h, fold_w, proposal_h, proposal_w,
             x, g, stats, wf_e, bf_e, wv_e, bv_e, w2_e,
             jnp.asarray(alpha), jnp.asarray(beta),
             heads, fold_h, fold_w, proposal_h, proposal_w,
-            interpret=interpret,
+            interpret=interpret, residuals=rpack,
         )
         dwf_e = jnp.sum(dwfp, axis=0)
         dbf_e = jnp.sum(dbfp, axis=(0, 1))
@@ -1562,12 +1911,20 @@ def _fused_mixer_block_stats_fwd(x, gn_scale, gn_bias, wf, bf, wv, bv, w2,
                                  b2, ls1, alpha, beta, heads, fold_h, fold_w,
                                  proposal_h, proposal_w, lane_fold=1):
     stats = gn1_stats(x)
-    out, ostats = _mixer_fwd_impl(
-        x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta,
-        heads, fold_h, fold_w, proposal_h, proposal_w, stats, lane_fold,
-    )
+    if _use_bwd_residuals():
+        out, ostats, rpack = _mixer_fwd_impl(
+            x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta,
+            heads, fold_h, fold_w, proposal_h, proposal_w, stats, lane_fold,
+            want_residuals=True,
+        )
+    else:
+        out, ostats = _mixer_fwd_impl(
+            x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1, alpha, beta,
+            heads, fold_h, fold_w, proposal_h, proposal_w, stats, lane_fold,
+        )
+        rpack = None
     return (out, ostats), (x, gn_scale, gn_bias, wf, bf, wv, bv, w2, b2, ls1,
-                           alpha, beta, stats)
+                           alpha, beta, stats, rpack)
 
 
 def _fused_mixer_block_stats_bwd(heads, fold_h, fold_w, proposal_h,
@@ -1633,7 +1990,10 @@ def _gelu_exactish(x):
 
 
 def _mlp_block_kernel(stats_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                      out_ref):
+                      out_ref, *res_refs):
+    """With a res_ref present, this is the TRAIN forward: it also stores the
+    pre-GELU activations z1, which the residual backward consumes instead of
+    re-running the fc1 matmul (VERDICT r4 #3)."""
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -1644,11 +2004,13 @@ def _mlp_block_kernel(stats_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     xf = blk.reshape(nt, c).astype(f32)
     bi = pl.program_id(0)
     xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
-    h = jax.lax.dot_general(
+    z1 = jax.lax.dot_general(
         xn.astype(mxu), w1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     ) + b1_ref[0]
-    h = _gelu_exactish(h)
+    if res_refs:
+        res_refs[0][0, 0] = z1.astype(res_refs[0].dtype)
+    h = _gelu_exactish(z1)
     y = jax.lax.dot_general(
         h.astype(mxu), w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
@@ -1656,8 +2018,9 @@ def _mlp_block_kernel(stats_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[0] = (xf + y).reshape(th, w, c).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "residuals"))
+def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False,
+                      residuals=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1670,7 +2033,16 @@ def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False):
     const = lambda shape: pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     nt = th * w
-    return pl.pallas_call(
+    out_specs = [tile]
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    if residuals:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, nt, hidden), lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h // th, nt, hidden), x.dtype))
+    outs = pl.pallas_call(
         _mlp_block_kernel,
         grid=(b, h // th),
         in_specs=[
@@ -1679,8 +2051,8 @@ def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False):
             const((c, hidden)), const((1, hidden)),
             const((hidden, c)), const((1, c)),
         ],
-        out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=b * (h // th) * 4 * nt * c * hidden,
             bytes_accessed=b * h * w * c * x.dtype.itemsize * 2,
@@ -1690,6 +2062,9 @@ def _mlp_block_pallas(x, stats, w1, b1, w2, b2, interpret=False):
         interpret=interpret,
     )(stats, x.astype(mxu), w1.astype(mxu), b1[None].astype(jnp.float32),
       w2.astype(mxu), b2[None].astype(jnp.float32))
+    if residuals:
+        return outs[0], outs[1]
+    return outs[0]
 
 
 def _gelu_grad(z):
@@ -1731,7 +2106,7 @@ def _gelu_act_and_grad(z):
 
 
 def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
-                    dxn_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dsum_ref):
+                    *refs):
     """Phase-1 fused backward of the MLP half.
 
     Per tile: rematerialise xn/z1/h in VMEM, compute dh -> dz1 -> dxn and the
@@ -1739,8 +2114,18 @@ def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
     the row tiles of each batch element (output blocks revisit (bi,0,0)), so
     the outputs stay batch-sharded and GSPMD-partitionable; XLA sums over
     batch afterwards.  The GroupNorm input gradient (a cross-tile reduction)
-    is left to XLA — it fuses the remaining elementwise chain well."""
+    is left to XLA — it fuses the remaining elementwise chain well.
+
+    With a z1 residual ref present (7 trailing refs instead of 6), the
+    stored pre-GELU activations replace the fc1 remat matmul
+    (VERDICT r4 #3)."""
     from jax.experimental import pallas as pl
+
+    if len(refs) == 7:
+        z_ref, dxn_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dsum_ref = refs
+    else:
+        z_ref = None
+        dxn_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dsum_ref = refs
 
     f32 = jnp.float32
     blk = x_ref[0]                                  # (th, W, C)
@@ -1753,9 +2138,13 @@ def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
     gout = g_ref[0].reshape(nt, c).astype(f32)
     xn = (xf - stats_ref[bi, 0]) * stats_ref[bi, 1]
     xnb = xn.astype(mxu)
-    z1 = jax.lax.dot_general(
-        xnb, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ) + b1_ref[0]
+    if z_ref is not None:
+        z1 = z_ref[0, 0].astype(f32)
+    else:
+        z1 = jax.lax.dot_general(
+            xnb, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + b1_ref[0]
     hact, dgelu = _gelu_act_and_grad(z1)
 
     gb = gout.astype(mxu)
@@ -1805,7 +2194,8 @@ def _mlp_bwd_kernel(stats_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False):
+def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False,
+                    z_res=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1821,6 +2211,12 @@ def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False):
     acc = lambda shape: pl.BlockSpec((1,) + shape, lambda bi, ti: (bi,) + (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
     nt = th * w
+    res_specs, res_args = [], []
+    if z_res is not None:
+        res_specs = [pl.BlockSpec((1, 1, nt, hidden),
+                                  lambda bi, ti: (bi, ti, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        res_args = [z_res]
     return pl.pallas_call(
         _mlp_bwd_kernel,
         grid=(b, h // th),
@@ -1828,7 +2224,7 @@ def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             tile, tile,
             const((c, hidden)), const((1, hidden)), const((hidden, c)),
-        ],
+        ] + res_specs,
         out_specs=[
             tile,
             acc((c, hidden)), acc((1, hidden)), acc((hidden, c)), acc((1, c)),
@@ -1850,7 +2246,8 @@ def _mlp_bwd_pallas(x, g, stats, w1_eff, b1_eff, w2_eff, interpret=False):
         compiler_params=_block_compiler_params(2),
         interpret=interpret,
     )(stats, x.astype(mxu), g.astype(mxu),
-      w1_eff.astype(mxu), b1_eff[None].astype(f32), w2_eff.astype(mxu))
+      w1_eff.astype(mxu), b1_eff[None].astype(f32), w2_eff.astype(mxu),
+      *res_args)
 
 
 def _mlp_block_ref(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
@@ -1867,6 +2264,15 @@ def _mlp_block_ref(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
     y = jnp.einsum("bhwd,dc->bhwc", h.astype(mxu), w2_e.astype(mxu),
                    preferred_element_type=f32) + b2_e
     return (xf + y).astype(x.dtype)
+
+
+def _use_mlp_residuals() -> bool:
+    """z1 residual for the MLP backward (VERDICT r4 #3): the train forward
+    stores the pre-GELU activations and the backward skips the fc1 remat
+    matmul.  A/B kill switch: ASY_MLP_BWD_RESIDUALS=0."""
+    import os
+
+    return os.environ.get("ASY_MLP_BWD_RESIDUALS", "1") != "0"
 
 
 @jax.custom_vjp
@@ -1887,9 +2293,14 @@ def _fused_mlp_block_fwd(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
     stats = gn1_stats(x)
     w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
     w2_e, b2_e = _fold_out(w2, b2, ls2)
-    out = _mlp_block_pallas(x, stats, w1_e, b1_e, w2_e, b2_e,
-                            interpret=interpret)
-    return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats)
+    if _use_mlp_residuals():
+        out, z_res = _mlp_block_pallas(x, stats, w1_e, b1_e, w2_e, b2_e,
+                                       interpret=interpret, residuals=True)
+    else:
+        out = _mlp_block_pallas(x, stats, w1_e, b1_e, w2_e, b2_e,
+                                interpret=interpret)
+        z_res = None
+    return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats, z_res)
 
 
 def _fused_mlp_block_bwd(res, g, lane_fold=1):
@@ -1902,7 +2313,7 @@ def _fused_mlp_block_bwd(res, g, lane_fold=1):
 
     With lane_fold=s>1 x/g are lane-folded and the kernel runs on
     block-diagonal expanded weights; grads fold back here."""
-    x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats = res
+    x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats, z_res = res
     interpret = jax.default_backend() != "tpu"
     f32 = jnp.float32
     w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
@@ -1912,7 +2323,7 @@ def _fused_mlp_block_bwd(res, g, lane_fold=1):
         s = lane_fold
         dxn, dw1p, db1p, dw2p, db2p, dsump = _mlp_bwd_pallas(
             x, g, stats, _bd_expand(w1_e, s), jnp.tile(b1_e, s),
-            _bd_expand(w2_e, s), interpret=interpret,
+            _bd_expand(w2_e, s), interpret=interpret, z_res=z_res,
         )
         dw1_e = _fold_diag_blocks(jnp.sum(dw1p, axis=0), s)
         db1_e = _fold_lane_blocks(jnp.sum(db1p, axis=(0, 1)), s)
@@ -1920,7 +2331,7 @@ def _fused_mlp_block_bwd(res, g, lane_fold=1):
         db2_e = _fold_lane_blocks(jnp.sum(db2p, axis=(0, 1)), s)
     else:
         dxn, dw1p, db1p, dw2p, db2p, dsump = _mlp_bwd_pallas(
-            x, g, stats, w1_e, b1_e, w2_e, interpret=interpret
+            x, g, stats, w1_e, b1_e, w2_e, interpret=interpret, z_res=z_res
         )
         dw1_e = jnp.sum(dw1p, axis=0)                # (C, hid)
         db1_e = jnp.sum(db1p, axis=(0, 1))           # (hid,)
@@ -1982,13 +2393,25 @@ def fused_mlp_block_pre(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2,
 
 def _fused_mlp_block_pre_fwd(x, stats, gn_scale, gn_bias, w1, b1, w2, b2, ls2,
                              lane_fold=1):
-    out = fused_mlp_block_pre(x, stats, gn_scale, gn_bias, w1, b1, w2, b2,
-                              ls2, lane_fold)
-    return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats)
+    interpret = jax.default_backend() != "tpu"
+    w1_e, b1_e = _fold_in(gn_scale, gn_bias, w1, b1)
+    w2_e, b2_e = _fold_out(w2, b2, ls2)
+    if lane_fold > 1:
+        s = lane_fold
+        w1_e, b1_e = _bd_expand(w1_e, s), jnp.tile(b1_e, s)
+        w2_e, b2_e = _bd_expand(w2_e, s), jnp.tile(b2_e, s)
+    if _use_mlp_residuals():
+        out, z_res = _mlp_block_pallas(x, stats, w1_e, b1_e, w2_e, b2_e,
+                                       interpret=interpret, residuals=True)
+    else:
+        out = _mlp_block_pallas(x, stats, w1_e, b1_e, w2_e, b2_e,
+                                interpret=interpret)
+        z_res = None
+    return out, (x, gn_scale, gn_bias, w1, b1, w2, b2, ls2, stats, z_res)
 
 
 def _fused_mlp_block_pre_bwd(lane_fold, res, g):
-    stats = res[-1]
+    stats = res[8]
     dx, dgs, dgb, dw1, db1, dw2, db2, dls2 = _fused_mlp_block_bwd(
         res, g, lane_fold=lane_fold)
     return dx, jnp.zeros_like(stats), dgs, dgb, dw1, db1, dw2, db2, dls2
