@@ -2269,10 +2269,17 @@ def _mlp_block_ref(x, gn_scale, gn_bias, w1, b1, w2, b2, ls2):
 def _use_mlp_residuals() -> bool:
     """z1 residual for the MLP backward (VERDICT r4 #3): the train forward
     stores the pre-GELU activations and the backward skips the fc1 remat
-    matmul.  A/B kill switch: ASY_MLP_BWD_RESIDUALS=0."""
+    matmul.  DEFAULT OFF (round-5 measurement): z1 is the FULL hidden
+    activation plane (B*H*W*hidden bf16 ~ 4 MB/img/block, ~27 blocks), which
+    OOMs the bs=128-without-remat production config on a 16 GB chip, and its
+    bs=64 step gain is inside chained-protocol noise (~6 ms of 154 on grad,
+    ~0 on step) — the HBM write+read of the plane costs about what the fc1
+    remat matmul saves.  The MIXER residuals (cbest/argf/c_rep/oc, KB-scale)
+    stay on: mixer bwd 59.86 -> 53.56 ms at bs=128 (trace, round 5).
+    A/B switch: ASY_MLP_BWD_RESIDUALS=1 opts back in."""
     import os
 
-    return os.environ.get("ASY_MLP_BWD_RESIDUALS", "1") != "0"
+    return os.environ.get("ASY_MLP_BWD_RESIDUALS", "0") == "1"
 
 
 @jax.custom_vjp
