@@ -54,6 +54,35 @@ def positional_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(grid, dtype=dtype)
 
 
+def _initial_fold_conv(params, x: jnp.ndarray, p: int, dtype) -> jnp.ndarray:
+    """cast + space_to_depth(p) + 1x1 initial projection as ONE strided conv.
+
+    `params` is a PointReducer(patch_size=1, stride=1) param tree
+    ({'proj': {'kernel': (1,1,C,Co), 'bias': (Co,)}}).  Output channel
+    (pi*p+pj)*Co + co matches the s-major flat-s2d order of
+    layers.space_to_depth + s2d_pointwise_kernel exactly; each output
+    contracts against a single input tap (0/1 placement), so the bf16 sums
+    are bitwise those of the separate path."""
+    import jax as _jax
+
+    w = params["proj"]["kernel"][0, 0]                  # (C, Co)
+    bias = params["proj"]["bias"]
+    g = p * p
+    eye = np.zeros((p, p, g), np.float32)
+    for pi in range(p):
+        for pj in range(p):
+            eye[pi, pj, pi * p + pj] = 1.0
+    k = jnp.einsum(
+        "xys,io->xyiso", jnp.asarray(eye, w.dtype), w,
+        precision=_jax.lax.Precision.HIGHEST,
+    ).reshape(p, p, w.shape[0], g * w.shape[1])
+    y = _jax.lax.conv_general_dilated(
+        x.astype(dtype), k.astype(dtype), (p, p), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + jnp.tile(bias, g).astype(dtype)
+
+
 class PointReducer(nn.Module):
     """Patch-embed / downsample as a strided conv (vr_coc.py:83-102).
 
@@ -425,16 +454,40 @@ class VRCoC(nn.Module):
         if use_s2d:
             g = p * p
             b, h, w, _ = image.shape
-            image = space_to_depth(image, p)
-            radar = space_to_depth(radar, p)
-            image = PointReducer(
-                self.image_channels, patch_size=1, stride=1, s2d=g,
-                dtype=self.dtype, name="image_initial",
-            )(image)
-            radar = PointReducer(
-                self.radar_channels, patch_size=1, stride=1, s2d=g,
-                dtype=self.dtype, name="radar_initial",
-            )(radar)
+            # Fold-conv entry (round-5): ONE strided conv computes
+            # cast + space_to_depth + the initial 1x1 projection.  The
+            # separate astype/transpose chain cost ~5 ms/step of layout
+            # pins + 6-d transposes at bs=128 (round-5 trace: the
+            # bf16[B,512,512,3/4] {0,2,3,1} pins and the layers.py:78 /
+            # vr_coc.py:82 copies); XLA's strided-conv path emits the folded
+            # layout directly.  Math is identical: the assembled kernel
+            # K[pi,pj,ci,(pi*p+pj)*Co+co] = w1x1[ci,co] contracts each
+            # output against exactly one input tap (0/1 placement, exact
+            # in bf16), gradients flow to the canonical 1x1 kernel through
+            # the placement einsum.  A/B: ASY_PRESTEM_FOLD_CONV=0.
+            import os as _os
+
+            fold_conv = _os.environ.get("ASY_PRESTEM_FOLD_CONV", "1") == "1"
+            if fold_conv:
+                image = _initial_fold_conv(
+                    self.variables["params"]["image_initial"], image, p,
+                    self.dtype,
+                )
+                radar = _initial_fold_conv(
+                    self.variables["params"]["radar_initial"], radar, p,
+                    self.dtype,
+                )
+            else:
+                image = space_to_depth(image, p)
+                radar = space_to_depth(radar, p)
+                image = PointReducer(
+                    self.image_channels, patch_size=1, stride=1, s2d=g,
+                    dtype=self.dtype, name="image_initial",
+                )(image)
+                radar = PointReducer(
+                    self.radar_channels, patch_size=1, stride=1, s2d=g,
+                    dtype=self.dtype, name="radar_initial",
+                )(radar)
             image = Enh(
                 self.image_channels, s2d=g, dtype=self.dtype,
                 name="image_enhance_by_radar1",

@@ -94,3 +94,62 @@ def test_s2d_grads_match(both_paths):
         b = np.asarray(b, np.float64).ravel()
         rel = np.linalg.norm(a - b) / max(na, floor)
         assert rel < 0.02, f"{kp}: relative L2 {rel}"
+
+
+def test_fold_conv_matches_literal_s2d(monkeypatch):
+    """Round-5 fold-conv entry (ASY_PRESTEM_FOLD_CONV): ONE strided conv
+    computing cast+space_to_depth+initial 1x1 must equal the literal
+    astype -> space_to_depth -> s2d PointReducer chain to reassociation
+    tolerance, in both compute dtypes, including gradients."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    rad = jnp.asarray(rng.standard_normal((2, 64, 64, 4)), jnp.float32)
+    for dtype in ("float32", "bfloat16"):
+        cfg = ModelConfig(
+            phi="nano", compute_dtype=dtype, use_pallas_cluster=False,
+            input_size=(64, 64), prestem_s2d=True,
+        )
+        model = create_model(cfg)
+        params, bstats = init_model(
+            model, jax.random.PRNGKey(0), input_size=(64, 64)
+        )
+
+        def loss(p):
+            (d, s), _ = model.apply(
+                {"params": p, "batch_stats": bstats}, img, rad,
+                train=True, mutable=["batch_stats"],
+            )
+            return sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in d) \
+                + jnp.sum(s.astype(jnp.float32) ** 2)
+
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("ASY_PRESTEM_FOLD_CONV", flag)
+            fwd = jax.jit(
+                lambda p, b, i, r: model.apply(
+                    {"params": p, "batch_stats": b}, i, r, train=False
+                )
+            )
+            det, seg = fwd(params, bstats, img, rad)
+            g = jax.jit(jax.grad(loss))(params)
+            jax.clear_caches()  # env is baked into the trace
+            outs[flag] = (det, seg, g)
+        tol = 1e-5 if dtype == "float32" else 3e-2
+        for a, b in zip(outs["1"][0], outs["0"][0]):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=tol, rtol=tol, err_msg=dtype,
+            )
+        np.testing.assert_allclose(
+            np.asarray(outs["1"][1], np.float32),
+            np.asarray(outs["0"][1], np.float32),
+            atol=tol, rtol=tol, err_msg=dtype,
+        )
+        fa = jax.tree_util.tree_flatten_with_path(outs["1"][2])[0]
+        fb = jax.tree_util.tree_flatten_with_path(outs["0"][2])[0]
+        wa = np.concatenate([np.asarray(a, np.float64).ravel() for _, a in fa])
+        wb = np.concatenate([np.asarray(b, np.float64).ravel() for _, b in fb])
+        rel = np.linalg.norm(wa - wb) / np.linalg.norm(wa)
+        # f32: the conv backward's weight-grad reduction order differs from
+        # the einsum path's (measured 1.3e-5 whole-gradient relative L2)
+        assert rel < (1e-4 if dtype == "float32" else 1e-2), (dtype, rel)

@@ -1,31 +1,54 @@
-"""Microbench: device cost of the input cast+space-to-depth fold at bs=128.
+"""Microbench: device cost of the input cast+space-to-depth fold.
 
-The round-5 bs=128 train trace shows ~11 ms/step around the model entry:
-input layout pins (3.61 + 2.67 ms), forward s2d transposes (2.71 + 2.04 ms,
-layers.py:78) and their backward mirrors (vr_coc.py:82).  This bench compares
-formulations of `space_to_depth(x.astype(bf16), 4)` for the (B,512,512,3/4)
-inputs under the chained-fori_loop device-time protocol (BENCH_NOTES.md):
+The round-5 bs=128 train trace shows ~5 ms/step around the model entry:
+input layout pins (1.2 + 0.9 ms), forward s2d transposes (0.9 + 0.7 ms,
+layers.py:78) and their backward mirrors (vr_coc.py:82).  This compares
+formulations of `space_to_depth(x.astype(bf16), 4)` for (B,512,512,3/4)
+inputs by TRACING one 5-chained dispatch per formulation and reading the
+per-dispatch device span from the xplane (jax.profiler works through the
+axon relay and is immune to its early-block_until_ready / re-upload traps;
+pause any co-running trainer first).
 
   s2d      astype + reshape/transpose/reshape (current model path)
   conv     one lax.conv_general_dilated with a 0/1 identity kernel
            (4x4 / stride 4, Cin -> 16*Cin) - XLA's strided-conv path
-  dot      reshape (B,H,WO,4C) + dot_general against a (4C x 16C)
-           placement matrix batched over (B,H) + H-fold transpose
 
-Usage: python tools/bench_fold.py [--batch 128]
+Usage: python tools/bench_fold.py [--batch 32]
 """
 from __future__ import annotations
 
 import argparse
-import functools
-import time
+import glob
+import os
+import shutil
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def device_span_ms(trace_dir: str, reps: int) -> float:
+    """Mean duration of the numeric-named per-dispatch parent spans."""
+    from xplane import load_xspace
+
+    pbs = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    spans = []
+    for plane in load_xspace(pbs[-1]):
+        if "TPU" not in plane["name"]:
+            continue
+        for line in plane["lines"]:
+            for name, _off, dur in line["events"]:
+                if name.isdigit():
+                    spans.append(dur / 1e6)
+    spans.sort()
+    return spans[-1] / reps  # largest parent = our chained program
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -38,29 +61,24 @@ def main() -> None:
     B = args.batch
     rng = np.random.default_rng(0)
 
-    def timed(fn, *xs, n=5):
-        """Chained device-time protocol: difference n vs 1 reps."""
+    def measure(tag, fn, *xs):
+        @jax.jit
+        def run(*xs):
+            def body(i, carry):
+                acc, xs = carry
+                out = fn(*[x + acc * 1e-12 for x in xs])
+                return jnp.sum(out.astype(jnp.float32)) * 1e-20, xs
 
-        def chain(reps):
-            @jax.jit
-            def run(*xs):
-                def body(i, carry):
-                    acc, xs = carry
-                    outs = fn(*[x + acc * 1e-12 for x in xs])
-                    acc = sum(jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(outs))
-                    return acc * 1e-20, xs
+            acc, _ = lax.fori_loop(0, args.reps, body, (jnp.float32(0.0), xs))
+            return acc
 
-                acc, _ = lax.fori_loop(0, reps, body, (jnp.float32(0.0), xs))
-                return acc
-
-            run(*xs).block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(3):
-                float(run(*xs))
-            return (time.perf_counter() - t0) / 3
-
-        t1, tn = chain(1), chain(n)
-        return (tn - t1) / (n - 1) * 1e3
+        float(run(*xs))  # compile + upload + drain (the only real sync)
+        tdir = f"/tmp/fold_trace_{tag}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        jax.profiler.start_trace(tdir)
+        float(run(*xs))
+        jax.profiler.stop_trace()
+        return device_span_ms(tdir, args.reps)
 
     for c in (3, 4):
         x = jnp.asarray(rng.standard_normal((B, 512, 512, c)), jnp.float32)
@@ -68,7 +86,6 @@ def main() -> None:
         def f_s2d(x):
             return space_to_depth(x.astype(jnp.bfloat16), p)
 
-        # one conv: out[(pi*p+pj)*C+c] = in[c] at tap (pi,pj)
         k = np.zeros((p, p, c, p * p * c), np.float32)
         for pi in range(p):
             for pj in range(p):
@@ -82,31 +99,13 @@ def main() -> None:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
-        # dot: split W only (free-ish reshape), W-fold via placement matmul,
-        # then H-fold as a transpose at WO granularity
-        m = np.zeros((p * c, p * p * c), np.float32)  # (pj,c) -> (pi? no: w-fold only)
-        # w-fold: (B,H,WO,p*C) -> want lanes (pj*C+c) kept; h-fold moves pi later
-        mb = jnp.asarray(np.eye(p * c), jnp.bfloat16)
-
-        def f_dot(x):
-            xb = x.astype(jnp.bfloat16)
-            b, h, w, cc = xb.shape
-            y = xb.reshape(b, h, w // p, p * cc)          # W-fold (reshape only)
-            y = y.reshape(b, h // p, p, w // p, p * cc)   # split H
-            y = y.transpose(0, 1, 3, 2, 4)                # (B,HO,WO,pi,p*C)
-            return y.reshape(b, h // p, w // p, p * p * cc)
-
-        rows = []
-        for name, fn in (("s2d", f_s2d), ("conv", f_conv), ("dot", f_dot)):
-            try:
-                ms = timed(fn, x)
-            except Exception as e:  # pragma: no cover
-                ms = float("nan")
-                print(f"C={c} {name}: FAILED {type(e).__name__}: {e}")
-            rows.append((name, ms))
+        res = {}
+        for name, fn in (("s2d", f_s2d), ("conv", f_conv)):
+            res[name] = measure(f"{name}{c}", fn, x)
         gb = B * 512 * 512 * c * (4 + 2) / 1e9
-        print(f"C={c} ({gb:.2f} GB min traffic):"
-              + "".join(f"  {n}={ms:7.2f} ms" for n, ms in rows), flush=True)
+        print(f"C={c} bs={B} ({gb:.2f} GB min traffic):"
+              + "".join(f"  {n}={ms:7.2f} ms" for n, ms in res.items()),
+              flush=True)
 
 
 if __name__ == "__main__":

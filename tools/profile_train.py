@@ -42,7 +42,7 @@ def main() -> None:
         help="comma-separated subset of stage names to run",
     )
     ap.add_argument("--remat", default="none",
-                    choices=["none", "fusion", "stages"],
+                    choices=["none", "fusion", "blocks", "stages"],
                     help="ModelConfig.train_remat mode to profile")
     args = ap.parse_args()
 
